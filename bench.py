@@ -1,0 +1,110 @@
+"""Headline benchmark: IPM iterations/sec per chip on a 10k-instance
+vmapped batch of random inequality-constrained QP-objective NLPs
+(BASELINE.md, driver config 3).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+The reference publishes no numbers (BASELINE.md) and its Aesara stack is
+not installed here, so ``vs_baseline`` is the architectural ratio against a
+reference-style host-driven loop: the same jitted single-instance solver
+dispatched from a Python loop (one host round-trip per solve — strictly
+FEWER host crossings than the reference's ~10 compiled-function calls per
+iteration, so the ratio understates the true speedup).
+
+Env knobs: BENCH_CPU=1 (force CPU), BENCH_BATCH, BENCH_NVAR, BENCH_BASELINE_N.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    if os.environ.get("BENCH_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from pyipm_tpu.config import IPMConfig
+    from pyipm_tpu.core.solver import make_solver
+    from pyipm_tpu.models.random_nlp import (
+        make_qp_batch_solver, make_qp_problem, sample_qp_batch, QPData,
+    )
+
+    B = int(os.environ.get("BENCH_BATCH", 10000))
+    D = int(os.environ.get("BENCH_NVAR", 16))
+    L = 4
+    cfg = IPMConfig(float_dtype="float32", verbosity=0, Ktol=1e-4)
+
+    key = jax.random.key(42)
+    data = sample_qp_batch(key, B, D, nlin=L)
+    x0 = jnp.zeros((B, D), jnp.float32)
+
+    solver = make_qp_batch_solver(cfg, nvar=D, nlin=L)
+
+    # compile (excluded from timing)
+    res = solver(x0, data)
+    res.x.block_until_ready()
+
+    # timed runs
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res = solver(x0, data)
+        res.x.block_until_ready()
+    elapsed = (time.perf_counter() - t0) / reps
+
+    total_iters = int(np.sum(np.asarray(res.iter_count)))
+    iters_per_sec = total_iters / elapsed
+    sigs = np.asarray(res.signal)
+    hit_rate = float(np.mean(np.isin(sigs, (1, 2))))
+
+    # ----- reference-style host-loop baseline on a subsample ----------
+    # one jitted single-instance solver taking instance data as an
+    # argument, dispatched from a Python loop: the reference architecture
+    # (host loop around compiled kernels, pyipm.py:1658) with modern
+    # compilation — a generous stand-in.
+    nb = int(os.environ.get("BENCH_BASELINE_N", 32))
+    sub = QPData(*(np.asarray(a)[:nb] for a in data))
+
+    def solve_one(x0_i, data_i):
+        prob = make_qp_problem(data_i, D, L)
+        return make_solver(prob, cfg, jit=False)(x0_i)
+
+    single = jax.jit(solve_one)
+    x0_single = jnp.zeros((D,), jnp.float32)
+    inst = lambda i: QPData(*(jnp.asarray(a[i]) for a in sub))
+    single(x0_single, inst(0)).x.block_until_ready()  # compile
+
+    t0 = time.perf_counter()
+    base_iters = 0
+    for i in range(nb):
+        ri = single(x0_single, inst(i))
+        ri.x.block_until_ready()
+        base_iters += int(ri.iter_count)
+    base_elapsed = time.perf_counter() - t0
+    base_iters_per_sec = max(base_iters, 1) / base_elapsed
+
+    out = {
+        "metric": "ipm_iters_per_sec_per_chip",
+        "value": round(iters_per_sec, 1),
+        "unit": "iters/s",
+        "vs_baseline": round(iters_per_sec / base_iters_per_sec, 2),
+        "batch": B,
+        "nvar": D,
+        "nineq": 2 * D + L,
+        "wall_s": round(elapsed, 3),
+        "total_inner_iters": total_iters,
+        "ktol_hit_rate": round(hit_rate, 4),
+        "backend": jax.default_backend(),
+        "baseline": "host-loop single-instance solves (reference-style)",
+        "baseline_iters_per_sec": round(base_iters_per_sec, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Solver configuration.
+
+Mirrors every constructor hyperparameter of the reference solver
+(reference pyipm.py:311-376, docstring pyipm.py:83-212) as a frozen, hashable
+dataclass so it can be a static argument under `jax.jit`.
+
+Defaults match the reference bit-for-bit where meaningful:
+mu=0.2, nu=10.0, rho=0.1, tau=0.995, eta=1e-4, beta=0.4, miter=20, niter=10,
+Ktol=1e-4, Xtol=machine-eps, Ftol=None (off), lbfgs off, lbfgs_zeta=1.0,
+float64, verbosity=1 (reference pyipm.py:311-314, 336-372).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class IPMConfig:
+    """All solver knobs. Hashable ⇒ usable as a jit static argument.
+
+    Additional TPU-native knobs beyond the reference surface:
+      - ``linear_solver``: 'lu' reproduces the reference's dense
+        solve-after-eigendecomposition flow (pyipm.py:1373-1406, 1720);
+        'ldlt' factors once per regularization retry with inertia read off
+        the pivots (Sylvester's law) — the fast path.
+      - ``max_reg_retries``: bound on the delta*=10 escalation loop
+        (the reference loop at pyipm.py:1399-1403 is unbounded).
+      - ``max_soc``: reserved for multi-round second-order corrections.
+    """
+
+    mu: float = 0.2            # barrier parameter init (pyipm.py:161-162)
+    nu: float = 10.0           # merit penalty init (pyipm.py:163-164)
+    rho: float = 0.1           # nu update factor (pyipm.py:165-167)
+    tau: float = 0.995         # fraction-to-boundary / backtracking (pyipm.py:168-170)
+    eta: float = 1.0e-4        # Armijo parameter (pyipm.py:171-173)
+    beta: float = 0.4          # eq-block regularization power (pyipm.py:174-176)
+    miter: int = 20            # inner iterations per outer (pyipm.py:177-179)
+    niter: int = 10            # outer iterations (pyipm.py:180-182)
+    Xtol: Optional[float] = None   # step tolerance; default machine eps (pyipm.py:183-186)
+    Ktol: float = 1.0e-4       # KKT tolerance (pyipm.py:187-189)
+    Ftol: Optional[float] = None   # f-change tolerance, off by default (pyipm.py:190-194)
+    lbfgs: int = 0             # L-BFGS memory; 0/False = exact Hessian (pyipm.py:195-199)
+    lbfgs_zeta: Optional[float] = None  # initial Hessian scaling (pyipm.py:200-204)
+    float_dtype: str = "float64"   # universal float precision (pyipm.py:205-209)
+    verbosity: int = 1         # -1..3 (pyipm.py:210-212)
+
+    # --- TPU-native extensions (absent in the reference) ---
+    linear_solver: str = "ldlt"    # 'ldlt' (factor-once inertia) or 'lu' (reference parity)
+    max_reg_retries: int = 40      # bound on the delta escalation loop
+    max_backtrack: int = 10_000    # bound on the Armijo backtracking loop
+    ldlt_block: int = 128          # blocked-factorization panel size
+
+    def __post_init__(self):
+        # Reference validation (pyipm.py:385-408), evaluated eagerly at
+        # construction time instead of at solve time.
+        assert self.mu > 0.0
+        assert self.nu > 0.0
+        assert 0.0 < self.eta < 1.0
+        assert 0.0 < self.rho < 1.0
+        assert 0.0 < self.tau < 1.0
+        assert self.beta < 1.0
+        assert self.miter >= 0 and int(self.miter) == self.miter
+        assert self.niter >= 0 and int(self.niter) == self.niter
+        eps = float(np.finfo(self.np_dtype).eps)
+        assert self.Xtol is None or self.Xtol >= eps
+        assert self.Ktol >= eps
+        assert self.Ftol is None or self.Ftol >= 0.0
+        assert self.lbfgs >= 0
+        assert self.lbfgs_zeta is None or self.lbfgs_zeta > 0.0
+        assert self.linear_solver in ("ldlt", "lu")
+
+    # ------------------------------------------------------------------
+    @property
+    def np_dtype(self):
+        return np.dtype(self.float_dtype)
+
+    @property
+    def eps(self) -> float:
+        """Machine epsilon of the working dtype (reference pyipm.py:336)."""
+        return float(np.finfo(self.np_dtype).eps)
+
+    @property
+    def xtol(self) -> float:
+        return self.Xtol if self.Xtol is not None else self.eps
+
+    @property
+    def reg_coef(self) -> float:
+        """sqrt(eps), the eq-block regularization coefficient (pyipm.py:353)."""
+        return float(np.sqrt(self.eps))
+
+    @property
+    def delta0(self) -> float:
+        """Initial inertia-correction diagonal shift (pyipm.py:372)."""
+        return self.reg_coef
+
+    @property
+    def zeta0(self) -> float:
+        """Initial L-BFGS Hessian scaling (pyipm.py:356-359)."""
+        return self.lbfgs_zeta if self.lbfgs_zeta is not None else 1.0
+
+    @property
+    def lbfgs_mem(self) -> int:
+        """Fixed L-BFGS storage width.
+
+        The reference grows S/Y dynamically and only FIFO-shifts once
+        ``S.shape[1] > lbfgs`` (pyipm.py:1300), so its effective memory is
+        lbfgs+1 columns; we allocate that statically.
+        """
+        return self.lbfgs + 1 if self.lbfgs else 0
+
+    @property
+    def lbfgs_fail_max(self) -> int:
+        """Consecutive curvature failures before memory reset (pyipm.py:360)."""
+        return self.lbfgs
+
+    def replace(self, **kw) -> "IPMConfig":
+        return dataclasses.replace(self, **kw)

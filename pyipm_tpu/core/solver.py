@@ -1,0 +1,381 @@
+"""The interior-point solver core: a pure jittable iteration.
+
+This is the TPU-native re-design of the reference's host-side solver loop
+(reference IPM.solve, pyipm.py:1567-1863).  The reference runs Python
+``for`` loops on the host, crossing the host/device boundary at every
+compiled-function call; here the ENTIRE solve — outer/inner iterations,
+convergence tests, inertia correction, line search, mu/nu updates — is a
+nested ``lax.while_loop`` over an immutable :class:`SolverState` pytree.
+Consequences:
+
+  - one XLA compilation, zero per-iteration host round-trips;
+  - the solver is ``vmap``-able (thousands of instances in lockstep, each
+    with its own convergence state — while_loop under vmap masks finished
+    instances automatically) and shardable with ``jax.sharding``;
+  - the state pytree doubles as the checkpoint unit (see utils/checkpoint).
+
+Signal taxonomy (reference pyipm.py:1656, 1665, 1761, 1796, 1502):
+    0 running | 1 Ktol converged | 2 Ftol converged
+   -1 max iterations | -2 unreliable search direction
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from pyipm_tpu.config import IPMConfig
+from pyipm_tpu.core import kkt as K
+from pyipm_tpu.core.lbfgs import (
+    LBFGSState, lbfgs_direction, lbfgs_init, lbfgs_update,
+)
+from pyipm_tpu.core.linesearch import max_step_ftb, search
+from pyipm_tpu.core.problem import Problem
+from pyipm_tpu.ops.linalg import reg_solve_kkt
+
+
+class SolverState(NamedTuple):
+    """Immutable per-instance solver state — the while_loop carry and the
+    checkpoint unit (the reference keeps the equivalent scattered across
+    mutable ``self`` members and Aesara shared scalars, pyipm.py:363-364,
+    1816-1821)."""
+    x: jnp.ndarray
+    s: jnp.ndarray
+    lda: jnp.ndarray
+    mu: jnp.ndarray
+    nu: jnp.ndarray
+    delta: jnp.ndarray           # inertia-correction shift, warm-started
+    kkt: jnp.ndarray             # (4,) KKT condition norms
+    signal: jnp.ndarray          # i32
+    iter_count: jnp.ndarray      # i32 total inner iterations executed
+    outer: jnp.ndarray           # i32 outer iteration index
+    inner: jnp.ndarray           # i32 inner iteration index (current outer)
+    inner_done: jnp.ndarray      # bool: inner loop hit its muTol exit
+    f_past: jnp.ndarray          # last cost for Ftol test
+    alpha: jnp.ndarray           # last accepted primal step length
+    reg_retries: jnp.ndarray     # i32 cumulative inertia-correction retries
+    lbfgs: LBFGSState
+    x_old: jnp.ndarray           # previous iterate (L-BFGS)
+    g: jnp.ndarray               # cached -grad (L-BFGS)
+
+
+class SolverResult(NamedTuple):
+    x: jnp.ndarray
+    s: jnp.ndarray
+    lda: jnp.ndarray
+    fval: jnp.ndarray
+    kkt: jnp.ndarray             # (4,) KKT condition norms
+    signal: jnp.ndarray
+    iter_count: jnp.ndarray
+    outer: jnp.ndarray
+    inner: jnp.ndarray
+    mu: jnp.ndarray
+    nu: jnp.ndarray
+    delta: jnp.ndarray
+    reg_retries: jnp.ndarray
+
+
+# ----------------------------------------------------------------------
+def _i32(v):
+    return jnp.asarray(v, jnp.int32)
+
+
+def _all_le(kkt, tol):
+    return jnp.all(kkt <= tol)
+
+
+def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
+                with_s0: bool = False, with_lda0: bool = False,
+                jit: bool = True):
+    """Build a solve function for (problem, config).
+
+    Returns ``solve_fn`` with signature ``(x0[, s0][, lda0]) -> SolverResult``
+    (the optional arguments are present iff the corresponding ``with_*``
+    flag is set).  The returned function is jitted end-to-end and safe to
+    ``vmap`` over a leading batch axis of its inputs.
+    """
+    cfg = config if config is not None else IPMConfig()
+    if cfg.np_dtype == np.float64 and not jax.config.jax_enable_x64:
+        # The reference dictates precision globally through THEANO_FLAGS
+        # (pyipm.py:1903-1917); the JAX analog is the x64 flag.
+        jax.config.update("jax_enable_x64", True)
+
+    D, M, N = problem.nvar, problem.neq, problem.nineq
+    ncon = M + N
+    Ktot = problem.ntot
+    dtype = cfg.np_dtype
+    eps = cfg.eps
+    tiny = float(np.finfo(dtype).tiny)
+
+    # ------------------------------------------------------------------
+    def direction_exact(st: SolverState):
+        """g = -grad; Hc = reghess(hess); dz = solve(Hc, g)
+        (reference pyipm.py:1717-1721)."""
+        g = -K.grad(problem, st.x, st.s, st.lda, st.mu)
+        H = K.kkt_matrix(problem, st.x, st.s, st.lda, st.mu)
+        dz, delta_new, retries = reg_solve_kkt(
+            H, g, st.delta, st.mu,
+            nvar=D, neq=M, nineq=N, eps=eps, reg_coef=cfg.reg_coef,
+            eta=cfg.eta, beta=cfg.beta, delta0=cfg.delta0,
+            max_retries=cfg.max_reg_retries, method=cfg.linear_solver,
+            block=cfg.ldlt_block,
+        )
+        st = st._replace(delta=delta_new,
+                         reg_retries=st.reg_retries + retries)
+        return dz, st
+
+    def direction_lbfgs(st: SolverState):
+        """Memory update + compact direction (reference pyipm.py:1702-1713).
+        The update is skipped only on the very first inner body of the whole
+        solve (the reference's ``inner > 0 or outer > 0`` gate,
+        pyipm.py:1705)."""
+        not_first = (st.outer > 0) | (st.inner > 0)
+
+        def upd(st):
+            g_old = -K.grad(problem, st.x_old, st.s, st.lda, st.mu)
+            g_new = -K.grad(problem, st.x, st.s, st.lda, st.mu)
+            dx = st.x - st.x_old
+            dg = g_old[:D] - g_new[:D]
+            mem = lbfgs_update(
+                st.lbfgs, dx, dg, constrained=ncon > 0, eps=eps,
+                zeta0=cfg.zeta0, fail_max=cfg.lbfgs_fail_max)
+            return st._replace(lbfgs=mem, x_old=st.x, g=g_new)
+
+        st = lax.cond(not_first, upd, lambda s_: s_, st)
+        dz = lbfgs_direction(problem, cfg, st.lbfgs, st.x, st.s, st.lda,
+                             st.g, st.mu)
+        return dz, st
+
+    # ------------------------------------------------------------------
+    def inner_iter(st: SolverState) -> SolverState:
+        """One primal-dual iteration (the body of the reference's inner
+        loop, pyipm.py:1672-1770)."""
+        if cfg.verbosity > 0:
+            if N:
+                jax.debug.print("* INNER ITERATION {}", st.inner + 1)
+            else:
+                jax.debug.print("ITERATION {}", st.iter_count + 1)
+        if cfg.verbosity > 1:
+            jax.debug.print("f(x) = {}", problem.f_val(st.x))
+        if cfg.verbosity > 2:
+            jax.debug.print(
+                "|dL/dx| = {}, |dL/ds| = {}, |ce| = {}, |ci-s| = {}",
+                st.kkt[0], st.kkt[1], st.kkt[2], st.kkt[3])
+
+        if cfg.lbfgs:
+            dz, st = direction_lbfgs(st)
+        else:
+            dz, st = direction_exact(st)
+
+        if ncon:
+            # sign convention flip for the multiplier block (pyipm.py:1723-1725)
+            dz = dz.at[D + N:].multiply(-1)
+
+            # merit penalty update (pyipm.py:1727-1735); the tiny guard on the
+            # denominator avoids NaN poisoning when the iterate is feasible
+            # (the reference divides unguarded).
+            den = ((1.0 - cfg.rho)
+                   * jnp.sum(jnp.abs(K.con(problem, st.x, st.s))) + tiny)
+            nu_thres = (K.barrier_cost_grad(problem, st.x, st.s, st.mu)
+                        @ dz[:D + N]) / den
+            st = st._replace(nu=jnp.maximum(st.nu, nu_thres))
+
+        if N:
+            # fraction-to-the-boundary (pyipm.py:1737-1742)
+            a_s = max_step_ftb(st.s, dz[D:D + N], cfg.tau)
+            a_l = max_step_ftb(st.lda[M:], dz[D + N + M:], cfg.tau)
+        else:
+            a_s = jnp.ones((), dtype)
+            a_l = jnp.ones((), dtype)
+
+        res = search(problem, cfg, st.x, st.s, st.lda, dz, a_s, a_l,
+                     st.mu, st.nu, st.signal)
+        st = st._replace(x=res.x, s=res.s, lda=res.lda, signal=res.signal,
+                         alpha=res.alpha, iter_count=st.iter_count + 1)
+        st = st._replace(kkt=K.kkt_norms(problem, st.x, st.s, st.lda, st.mu))
+
+        if cfg.Ftol is not None and N == 0:
+            # per-inner-iteration Ftol test, unconstrained/eq-only
+            # (pyipm.py:1756-1766)
+            f_new = problem.f_val(st.x)
+            live = st.signal != -2
+            hit = live & (jnp.abs(st.f_past - f_new) <= abs(cfg.Ftol))
+            st = st._replace(
+                signal=jnp.where(hit, _i32(2), st.signal),
+                f_past=jnp.where(live, f_new, st.f_past))
+        return st
+
+    # ------------------------------------------------------------------
+    def inner_loop(st: SolverState) -> SolverState:
+        st = st._replace(inner=_i32(0), inner_done=jnp.zeros((), jnp.bool_))
+
+        def cond_fn(st):
+            return ((st.inner < cfg.miter) & (st.signal == 0)
+                    & (~st.inner_done))
+
+        def body_fn(st):
+            # muTol inner exit (pyipm.py:1676-1682)
+            muTol = jnp.maximum(jnp.asarray(cfg.Ktol, dtype), st.mu)
+            conv = _all_le(st.kkt, muTol)
+
+            def on_conv(st):
+                if ncon == 0:
+                    st = st._replace(signal=_i32(1))
+                return st._replace(inner_done=jnp.ones((), jnp.bool_))
+
+            def on_run(st):
+                st = inner_iter(st)
+                return st._replace(inner=st.inner + 1)
+
+            return lax.cond(conv, on_conv, on_run, st)
+
+        return lax.while_loop(cond_fn, body_fn, st)
+
+    # ------------------------------------------------------------------
+    def outer_body(st: SolverState) -> SolverState:
+        conv = _all_le(st.kkt, jnp.asarray(cfg.Ktol, dtype))
+
+        def on_conv(st):
+            # converged at the top of an outer iteration (pyipm.py:1663-1667)
+            return st._replace(signal=_i32(1))
+
+        def on_run(st):
+            if cfg.verbosity > 0 and N:
+                jax.debug.print("OUTER ITERATION {}", st.outer + 1)
+            st = inner_loop(st)
+
+            if cfg.Ftol is not None and N > 0:
+                # per-outer Ftol test with inequality constraints
+                # (pyipm.py:1776-1789)
+                def ftol_chk(st):
+                    f_new = problem.f_val(st.x)
+                    hit = jnp.abs(st.f_past - f_new) <= abs(cfg.Ftol)
+                    return st._replace(
+                        signal=jnp.where(hit, _i32(2), st.signal),
+                        f_past=f_new)
+
+                st = lax.cond(st.signal != -2, ftol_chk, lambda s_: s_, st)
+
+            # max-iterations signal at the end of the last outer iteration
+            # (pyipm.py:1795-1802)
+            is_last = st.outer >= cfg.niter - 1
+            st = st._replace(signal=jnp.where((st.signal == 0) & is_last,
+                                              _i32(-1), st.signal))
+
+            if N:
+                # adaptive centrality-based barrier update (pyipm.py:1804-1814)
+                def mu_upd(st):
+                    li = st.lda[M:]
+                    sl = st.s @ li
+                    xi = N * jnp.min(st.s * li) / (sl + eps)
+                    mu_new = (0.1 * jnp.minimum(
+                        0.05 * (1.0 - xi) / (xi + eps), 2.0) ** 3 * sl / N)
+                    mu_new = jnp.maximum(mu_new, jnp.zeros((), dtype))
+                    return st._replace(mu=mu_new)
+
+                st = lax.cond(st.signal == 0, mu_upd, lambda s_: s_, st)
+            return st
+
+        st = lax.cond(conv, on_conv, on_run, st)
+        return st._replace(outer=st.outer + 1)
+
+    def run(st: SolverState) -> SolverState:
+        def cond_fn(st):
+            return (st.outer < cfg.niter) & (st.signal == 0)
+
+        return lax.while_loop(cond_fn, outer_body, st)
+
+    # ------------------------------------------------------------------
+    def init_state(x0, s0=None, lda0=None) -> SolverState:
+        """Initialization (reference pyipm.py:1596-1651)."""
+        x = jnp.asarray(x0, dtype).reshape((D,))
+        if N:
+            s = (K.init_slack(problem, x, cfg.Ktol) if s0 is None
+                 else jnp.asarray(s0, dtype).reshape((N,)))
+            mu0 = jnp.asarray(cfg.mu, dtype)
+        else:
+            s = jnp.zeros((0,), dtype)
+            mu0 = jnp.asarray(cfg.Ktol, dtype)    # pyipm.py:1606
+        if ncon:
+            lda = (K.init_lambda(problem, x, cfg.Ktol) if lda0 is None
+                   else jnp.asarray(lda0, dtype).reshape((ncon,)))
+        else:
+            lda = jnp.zeros((0,), dtype)
+        nu0 = jnp.asarray(cfg.nu, dtype)
+        kkt0 = K.kkt_norms(problem, x, s, lda, mu0)
+        if cfg.Ftol is not None:
+            f_past = problem.f_val(x)
+        else:
+            f_past = jnp.zeros((), dtype)
+        if cfg.lbfgs:
+            g0 = -K.grad(problem, x, s, lda, mu0)
+        else:
+            g0 = jnp.zeros((Ktot,), dtype)
+        return SolverState(
+            x=x, s=s, lda=lda, mu=mu0, nu=nu0,
+            delta=jnp.zeros((), dtype), kkt=kkt0,
+            signal=_i32(0), iter_count=_i32(0), outer=_i32(0),
+            inner=_i32(0), inner_done=jnp.zeros((), jnp.bool_),
+            f_past=f_past, alpha=jnp.zeros((), dtype),
+            reg_retries=_i32(0),
+            lbfgs=lbfgs_init(D, cfg.lbfgs_mem, cfg.zeta0, dtype),
+            x_old=x, g=g0,
+        )
+
+    def finalize(st: SolverState) -> SolverResult:
+        return SolverResult(
+            x=st.x, s=st.s, lda=st.lda, fval=problem.f_val(st.x),
+            kkt=st.kkt, signal=st.signal, iter_count=st.iter_count,
+            outer=st.outer, inner=st.inner, mu=st.mu, nu=st.nu,
+            delta=st.delta, reg_retries=st.reg_retries,
+        )
+
+    # ------------------------------------------------------------------
+    if with_s0 and with_lda0:
+        def solve_fn(x0, s0, lda0):
+            return finalize(run(init_state(x0, s0, lda0)))
+    elif with_s0:
+        def solve_fn(x0, s0):
+            return finalize(run(init_state(x0, s0, None)))
+    elif with_lda0:
+        def solve_fn(x0, lda0):
+            return finalize(run(init_state(x0, None, lda0)))
+    else:
+        def solve_fn(x0):
+            return finalize(run(init_state(x0)))
+
+    solve_fn.init_state = init_state
+    solve_fn.run = run
+    solve_fn.finalize = finalize
+    solve_fn.problem = problem
+    solve_fn.config = cfg
+    if jit:
+        wrapped = jax.jit(solve_fn)
+        wrapped.init_state = init_state
+        wrapped.run = run
+        wrapped.finalize = finalize
+        wrapped.problem = problem
+        wrapped.config = cfg
+        return wrapped
+    return solve_fn
+
+
+# ----------------------------------------------------------------------
+def solve(problem: Problem, x0, config: Optional[IPMConfig] = None,
+          s0=None, lda0=None) -> SolverResult:
+    """One-shot functional solve (builds and caches nothing; for repeated
+    solves of the same problem build the solver once with
+    :func:`make_solver`)."""
+    fn = make_solver(problem, config,
+                     with_s0=s0 is not None, with_lda0=lda0 is not None)
+    args = [x0]
+    if s0 is not None:
+        args.append(s0)
+    if lda0 is not None:
+        args.append(lda0)
+    return fn(*args)

@@ -1,0 +1,89 @@
+"""IPM class facade contract tests (reference pyipm.py:23-1863)."""
+
+import numpy as np
+import pytest
+
+from pyipm_tpu import IPM
+from pyipm_tpu.models import REFERENCE_PROBLEMS
+
+
+def test_solve_returns_reference_tuple():
+    spec = REFERENCE_PROBLEMS[7]
+    rng = np.random.default_rng(42)
+    p = IPM(x0=spec.sample_x0(rng), f=spec.f, ce=spec.ce, ci=spec.ci,
+            Ftol=1e-8, verbosity=-1)
+    out = p.solve()
+    assert len(out) == 5
+    x, s, lda, fval, kkt = out
+    assert x.shape == (3,)
+    assert s.shape == (3,)
+    assert lda.shape == (4,)
+    assert isinstance(fval, float)
+    assert len(kkt) == 4
+    assert spec.distance_to_truth(x) <= 1e-3
+    # solutions stored on the instance (reference pyipm.py:1816-1821)
+    np.testing.assert_array_equal(p.x, x)
+    np.testing.assert_array_equal(p.lda, lda)
+    assert p.fval == fval
+
+
+def test_kkt_blocks_shapes():
+    spec = REFERENCE_PROBLEMS[10]
+    rng = np.random.default_rng(0)
+    p = IPM(x0=spec.sample_x0(rng), f=spec.f, ce=spec.ce, ci=spec.ci,
+            verbosity=-1)
+    x, s, lda, fval, kkt = p.solve()
+    kkt1, kkt2, kkt3, kkt4 = kkt
+    assert kkt1.shape == (3,)
+    assert kkt2.shape == (1,)
+    assert kkt3.shape == (1,)
+    assert kkt4.shape == (1,)
+
+
+def test_kkt_absent_blocks_scalar_zero():
+    spec = REFERENCE_PROBLEMS[1]
+    rng = np.random.default_rng(0)
+    p = IPM(x0=spec.sample_x0(rng), f=spec.f, verbosity=-1)
+    x, s, lda, fval, kkt = p.solve()
+    assert s.shape == (0,)
+    assert lda.shape == (0,)
+    # absent blocks come back as scalar zeros (reference pyipm.py:975-989)
+    assert float(kkt[1]) == 0.0
+    assert float(kkt[2]) == 0.0
+    assert float(kkt[3]) == 0.0
+
+
+def test_x_dev_accepted_and_ignored():
+    spec = REFERENCE_PROBLEMS[1]
+    rng = np.random.default_rng(0)
+    p = IPM(x0=spec.sample_x0(rng), x_dev=object(), lambda_dev=object(),
+            f=spec.f, verbosity=-1)
+    x, *_ = p.solve()
+    assert spec.distance_to_truth(x) <= 1e-3
+
+
+def test_solve_with_new_x0_recompiles_on_dim_change():
+    import jax.numpy as jnp
+
+    p = IPM(f=lambda x: jnp.sum((x - 1.0) ** 2), verbosity=-1)
+    x2, *_ = p.solve(x0=np.zeros(2))
+    assert x2.shape == (2,)
+    x3, *_ = p.solve(x0=np.zeros(3))
+    assert x3.shape == (3,)
+    np.testing.assert_allclose(x3, np.ones(3), atol=1e-6)
+
+
+def test_validation_rejects_orphan_derivative():
+    with pytest.raises(AssertionError):
+        p = IPM(x0=np.zeros(2), f=lambda x: x @ x,
+                dce=lambda x: np.zeros((2, 1)), verbosity=-1)
+        p.solve()
+
+
+def test_lbfgs_facade():
+    spec = REFERENCE_PROBLEMS[5]
+    rng = np.random.default_rng(42)
+    p = IPM(x0=spec.sample_x0(rng), f=spec.f, ci=spec.ci,
+            Ftol=1e-8, lbfgs=4, verbosity=-1)
+    x, s, lda, fval, kkt = p.solve()
+    assert spec.distance_to_truth(x) <= 1e-3
