@@ -49,6 +49,7 @@ class IPMConfig:
     verbosity: int = 1         # -1..3 (pyipm.py:210-212)
 
     # --- TPU-native extensions (absent in the reference) ---
+    mu_min: Optional[float] = None  # barrier floor; default machine eps
     linear_solver: str = "ldlt"    # 'ldlt' (factor-once inertia) or 'lu' (reference parity)
     max_reg_retries: int = 40      # bound on the delta escalation loop
     max_backtrack: int = 10_000    # bound on the Armijo backtracking loop
@@ -96,6 +97,18 @@ class IPMConfig:
     def delta0(self) -> float:
         """Initial inertia-correction diagonal shift (pyipm.py:372)."""
         return self.reg_coef
+
+    @property
+    def mu_floor(self) -> float:
+        """Lower bound on the adaptive barrier parameter.
+
+        The reference clamps mu only at >= 0 (pyipm.py:1811-1812); letting
+        mu collapse to ~1e-10 drives active slacks below float32
+        resolution, after which complementarity is pure roundoff.  The
+        default floor of machine eps is a no-op in float64 and restores
+        convergence in float32 (complementarity at the floor is
+        s*lda ~ eps << Ktol)."""
+        return self.mu_min if self.mu_min is not None else self.eps
 
     @property
     def zeta0(self) -> float:

@@ -22,7 +22,17 @@ from pyipm_tpu.core.problem import Problem
 
 
 def _eps_of(x):
-    return jnp.finfo(x.dtype).eps
+    """Slack-denominator guard for mu/s terms.
+
+    The reference adds machine eps (pyipm.py:498, 625, 666, 700, ...),
+    which is invisible in float64 but catastrophic in float32: near
+    convergence active-constraint slacks shrink to ~mu (1e-8 and below),
+    so eps(f32) ≈ 1.2e-7 DOMINATES s, corrupting Sigma and the barrier
+    gradient and stalling the stationarity residual around 1e-3.  We guard
+    only against literal division by zero with sqrt(tiny)
+    (≈1e-19 in f32, ≈1e-154 in f64) — indistinguishable from the
+    reference in f64, correct in f32."""
+    return jnp.sqrt(jnp.finfo(x.dtype).tiny)
 
 
 # ----------------------------------------------------------------------

@@ -170,8 +170,9 @@ def lbfgs_direction(problem: Problem, cfg, state: LBFGSState,
 
     # constrained: block inverse of Z + Woodbury correction (pyipm.py:1099-1148)
     eps_ = jnp.asarray(cfg.eps, dtype)
+    guard = jnp.sqrt(jnp.finfo(dtype).tiny)   # see kkt._eps_of
     Sm, Ym, SS, Lm, Dv, valid = _masked_mem(state, constrained=True)
-    sigma = lda[M:] / (s + eps_) if N else jnp.zeros((0,), dtype)
+    sigma = lda[M:] / (s + guard) if N else jnp.zeros((0,), dtype)
     Adiag = jnp.concatenate([zeta * jnp.ones((D,), dtype), sigma])  # (D+N,)
     B = K.jaco(problem, x)                                   # (D+N, M+N)
     g1 = g[:D + N]

@@ -74,8 +74,16 @@ def search(problem: Problem, cfg, x0, s0, lda0, dz, alpha_smax, alpha_lmax,
     phi0 = K.phi(problem, x0, s0, mu, nu)
     dphi0 = K.dphi(problem, x0, s0, dz[:D + N], mu, nu)
 
+    # Roundoff-aware Armijo slack: once the required decrease a*eta*dphi0
+    # falls below the floating-point resolution of phi itself, the strict
+    # test (reference pyipm.py:1462) compares pure noise and the search
+    # aborts with signal=-2.  Accepting within ~10 ulps of phi0 is the
+    # standard low-precision fix; at f64 the slack (~1e-14*|phi0|) is
+    # far below Ktol-relevant scales and preserves reference behavior.
+    slack = 10.0 * eps * (1.0 + jnp.abs(phi0))
+
     def armijo_rhs(a):
-        return phi0 + a * eta * dphi0
+        return phi0 + a * eta * dphi0 + slack
 
     def phi_at(a_s):
         return K.phi(problem, x0 + a_s * dx, s0 + a_s * ds, mu, nu)

@@ -275,7 +275,9 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
                     xi = N * jnp.min(st.s * li) / (sl + eps)
                     mu_new = (0.1 * jnp.minimum(
                         0.05 * (1.0 - xi) / (xi + eps), 2.0) ** 3 * sl / N)
-                    mu_new = jnp.maximum(mu_new, jnp.zeros((), dtype))
+                    # floored at cfg.mu_floor instead of 0 (see IPMConfig)
+                    mu_new = jnp.maximum(mu_new,
+                                         jnp.asarray(cfg.mu_floor, dtype))
                     return st._replace(mu=mu_new)
 
                 st = lax.cond(st.signal == 0, mu_upd, lambda s_: s_, st)

@@ -102,11 +102,45 @@ def ldlt_factor(A, block: int = 128):
     return L[:n, :n], d[:n]
 
 
+# below this size, triangular solves use explicit substitution loops of
+# masked dot products instead of XLA's triangular_solve custom call: the
+# custom call ("InvertDiagBlocksUpperTriangular") stages the ENTIRE batch
+# in VMEM and OOMs for vmapped batches of even modest KKT systems
+# (f32[512,88,88] > 16MB), while plain dots tile fine.
+_TRI_LOOP_MAX = 256
+
+
+def _tri_solve_unit_lower_loop(L, b):
+    n = L.shape[0]
+    idx = jnp.arange(n)
+
+    def body(j, x):
+        row = jnp.where(idx < j, L[j, :], jnp.zeros((), L.dtype))
+        return x.at[j].set(b[j] - row @ x)
+
+    return lax.fori_loop(0, n, body, jnp.zeros_like(b))
+
+
+def _tri_solve_unit_upper_loop(U, b):
+    n = U.shape[0]
+    idx = jnp.arange(n)
+
+    def body(t, x):
+        j = n - 1 - t
+        row = jnp.where(idx > j, U[j, :], jnp.zeros((), U.dtype))
+        return x.at[j].set(b[j] - row @ x)
+
+    return lax.fori_loop(0, n, body, jnp.zeros_like(b))
+
+
 def ldlt_solve(L, d, b):
     """Solve (L diag(d) L^T) x = b reusing the factors."""
-    y = solve_triangular(L, b, lower=True, unit_diagonal=True)
     dtype = L.dtype
     safe = jnp.where(jnp.abs(d) > 0, d, jnp.ones((), dtype))
+    if L.shape[0] <= _TRI_LOOP_MAX and b.ndim == 1:
+        y = _tri_solve_unit_lower_loop(L, b)
+        return _tri_solve_unit_upper_loop(L.T, y / safe)
+    y = solve_triangular(L, b, lower=True, unit_diagonal=True)
     z = y / safe
     return solve_triangular(L.T, z, lower=False, unit_diagonal=True)
 
@@ -143,6 +177,7 @@ def reg_solve_kkt(
     max_retries: int = 40,
     method: str = "ldlt",
     block: int = 128,
+    ir_steps: int = 1,
 ):
     """Regularize H for correct inertia and solve H dz = g.
 
@@ -178,6 +213,7 @@ def reg_solve_kkt(
         H, g, delta, mu, ex=ex, eeq=eeq, target=target, eps=eps_,
         reg_coef=reg_coef, eta=eta, beta=beta, delta0=delta0_,
         max_retries=max_retries, has_eq=M > 0, block=block,
+        ir_steps=ir_steps,
     )
 
 
@@ -241,18 +277,69 @@ def _reg_solve_eigh(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
     return dz, delta_new, retries
 
 
+def ruiz_scale(H, iters: int = 3):
+    """Ruiz equilibration: symmetric diagonal scaling d with
+    D H D ≈ unit row/col inf-norms (D = diag(d)).
+
+    Congruence preserves inertia (Sylvester), so inertia counting on the
+    scaled matrix is exact, while the factorization operates on a matrix
+    whose entries span far fewer orders of magnitude — essential in
+    float32, where the raw interior-point KKT matrix has Sigma = lda/s
+    entries growing like 1/mu near convergence."""
+    dtype = H.dtype
+    d = jnp.ones((H.shape[0],), dtype)
+    Hs = H
+    for _ in range(iters):
+        r = jnp.sqrt(jnp.max(jnp.abs(Hs), axis=1))
+        r = jnp.where(r > 0, r, jnp.ones((), dtype))
+        Hs = Hs / r[:, None] / r[None, :]
+        d = d / r
+    return Hs, d
+
+
 def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
-                    eta, beta, delta0, max_retries, has_eq, block):
-    """Fast path: one LDL^T per retry, inertia from pivot signs, factors
-    reused for the solve."""
+                    eta, beta, delta0, max_retries, has_eq, block,
+                    ir_steps=1):
+    """Fast path: Ruiz-equilibrated LDL^T, one factorization per retry,
+    inertia from pivot signs, factors reused for the solve, plus iterative
+    refinement in the ORIGINAL (unscaled) coordinates.
+
+    Both tricks exist for float32 (the TPU dtype): equilibration bounds the
+    dynamic range the triangular solves see, and each refinement step (two
+    matvecs + two cached triangular solves, no refactorization) recovers
+    the residual to roundoff when cond*eps < 1.  The refined iterate is
+    kept only when it reduces the residual, so refinement cannot
+    destabilize a well-conditioned solve.  The delta-shift semantics are
+    unchanged from the reference (H + delta*I on the primal block,
+    pyipm.py:1390-1403): in scaled coordinates the shift becomes
+    delta * diag(d^2) on that block, which is the same matrix congruence.
+    """
     dtype = H.dtype
     factor = partial(ldlt_factor, block=block)
 
-    L0, d0 = factor(H)
+    Hs, dsc = ruiz_scale(H)
+    shift_diag = (dsc * dsc) * ex       # scaled-space image of diag(ex)
+
+    def scaled_solve(L_, dv_, rhs):
+        """Solve H_f x = rhs via the scaled factors: x = D y,
+        (D H_f D) y = D rhs."""
+        return dsc * ldlt_solve(L_, dv_, dsc * rhs)
+
+    L0, d0 = factor(Hs)
+    # Trigger the regularization machinery as the reference does
+    # (pyipm.py:1381): on wrong inertia OR ill-conditioning — but measure
+    # conditioning on the RUIZ-SCALED pivots.  The raw interior-point KKT
+    # matrix is intrinsically ill-conditioned (cond ~ 1/mu) near
+    # convergence even when perfectly solvable, and triggering on that in
+    # float32 would delta-shift every late iteration (capping accuracy at
+    # delta0 = sqrt(eps) ≈ 3.5e-4 > Ktol); after equilibration, tiny
+    # scaled pivots indicate genuine rank deficiency (e.g. a singular
+    # equality Jacobian), which is exactly what the eq-block
+    # regularization inside the fix branch exists for.
     ok0 = ldlt_inertia_ok(d0, target, eps)
 
     def fix(args):
-        H0, delta_in, L_, dv_ = args
+        Hs0, delta_in, L_, dv_ = args
         if has_eq:
             # conditioning trigger analog of the reference's rcond test
             ad = jnp.abs(dv_)
@@ -260,14 +347,16 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
                                               jnp.finfo(dtype).tiny)
             illcond = (~jnp.all(jnp.isfinite(dv_))) | (rcond <= eps)
             reg = _eq_reg_term(mu, reg_coef, eta, beta, dtype)
-            Hb = jnp.where(illcond, 1.0, 0.0) * (-reg) * jnp.diag(eeq) + H0
+            eq_shift = jnp.where(illcond, reg, jnp.zeros((), dtype))
+            Hb = Hs0 - eq_shift * jnp.diag((dsc * dsc) * eeq)
         else:
-            Hb = H0
+            eq_shift = jnp.zeros((), dtype)
+            Hb = Hs0
         d1 = jnp.where(delta_in == 0, delta0,
                        jnp.maximum(delta_in / 2, delta0))
 
         def try_factor(dlt):
-            return factor(Hb + dlt * jnp.diag(ex))
+            return factor(Hb + dlt * jnp.diag(shift_diag))
 
         def cond_fn(c):
             # the escalation loop exits on correct inertia alone, like the
@@ -287,14 +376,22 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
         Lt, dt = try_factor(d1)
         d_f, L_f, dv_f, t_f = lax.while_loop(
             cond_fn, body_fn, (d1, Lt, dt, jnp.zeros((), jnp.int32)))
-        return L_f, dv_f, d_f, t_f
+        Hf = (H - eq_shift * jnp.diag(eeq) + d_f * jnp.diag(ex))
+        return L_f, dv_f, d_f, t_f, Hf
 
     def keep(args):
         _, delta_in, L_, dv_ = args
-        return L_, dv_, delta_in, jnp.zeros((), jnp.int32)
+        return L_, dv_, delta_in, jnp.zeros((), jnp.int32), H
 
-    Lf, df, delta_new, retries = lax.cond(~ok0, fix, keep, (H, delta, L0, d0))
-    dz = ldlt_solve(Lf, df, g)
+    Lf, df, delta_new, retries, Hf = lax.cond(
+        ~ok0, fix, keep, (Hs, delta, L0, d0))
+    dz = scaled_solve(Lf, df, g)
+    for _ in range(ir_steps):
+        r = g - Hf @ dz
+        dz_new = dz + scaled_solve(Lf, df, r)
+        r_new = g - Hf @ dz_new
+        better = jnp.linalg.norm(r_new) < jnp.linalg.norm(r)
+        dz = jnp.where(better, dz_new, dz)
     return dz, delta_new, retries
 
 
@@ -302,7 +399,28 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
 # misc
 def lstsq_minnorm(A, b):
     """Minimum-norm least-squares solve (reference fallback at
-    pyipm.py:1477, 1529 via ``np.linalg.lstsq``).  SVD-based, jittable,
-    vmappable."""
-    sol, _, _, _ = jnp.linalg.lstsq(A, b, rcond=None)
-    return sol
+    pyipm.py:1477, 1529 via ``np.linalg.lstsq``).
+
+    Implemented via lightly-regularized normal equations instead of SVD:
+    under vmap, ``lax.cond`` evaluates both branches, so the second-order
+    correction path executes every iteration for the whole batch — an SVD
+    there would dominate the step cost, while this is two matmuls and a
+    small dense solve (MXU-friendly).  The Tikhonov term keeps the solve
+    defined for rank-deficient Jacobians (where the reference's lstsq
+    returns the min-norm solution; ours is within O(sqrt(eps)) of it)."""
+    m, n = A.shape
+    dtype = A.dtype
+    reg = jnp.sqrt(jnp.finfo(dtype).eps)
+    if m <= n:
+        # underdetermined: x = A^T (A A^T + reg*s*I)^{-1} b
+        G = A @ A.T
+        scale = jnp.maximum(jnp.trace(G) / m, jnp.ones((), dtype))
+        x = A.T @ jnp.linalg.solve(G + reg * scale * jnp.eye(m, dtype=dtype),
+                                   b)
+    else:
+        # overdetermined: x = (A^T A + reg*s*I)^{-1} A^T b
+        G = A.T @ A
+        scale = jnp.maximum(jnp.trace(G) / n, jnp.ones((), dtype))
+        x = jnp.linalg.solve(G + reg * scale * jnp.eye(n, dtype=dtype),
+                             A.T @ b)
+    return x

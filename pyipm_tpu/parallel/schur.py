@@ -92,6 +92,7 @@ def make_separable_solver(spec: SeparableNLP, mesh,
     d, mc = spec.d, spec.mc
     eps = float(np.finfo(dtype).eps)
     tiny = float(np.finfo(dtype).tiny)
+    guard = float(np.sqrt(np.finfo(dtype).tiny))  # see core.kkt._eps_of
     box = spec.has_box
 
     grad_f = jax.vmap(jax.grad(spec.f_blk))          # (Kl,d),(Kl,...)->(Kl,d)
@@ -114,7 +115,7 @@ def make_separable_solver(spec: SeparableNLP, mesh,
         rx = grad_f(x, th) - jnp.einsum("kcd,c->kd", data.A, lc)
         if box:
             rx = rx - z
-            rs = z - mu / (s + eps)
+            rs = z - mu / (s + guard)
             rci = x - data.lb - s
         else:
             rs = jnp.zeros_like(x)
@@ -181,7 +182,7 @@ def make_separable_solver(spec: SeparableNLP, mesh,
         rx, rs, rce, rci = grad_blocks(x, s, z, lc, th, data, mu, ax)
         W = hess_f(x, th)                                    # (Kl, d, d)
         if box:
-            sig = z / (s + eps)                              # (Kl, d)
+            sig = z / (s + guard)                              # (Kl, d)
             Wd = W + jax.vmap(jnp.diag)(sig)
             rhs = -(rx + rs + sig * rci)                     # (Kl, d)
         else:
@@ -265,7 +266,7 @@ def make_separable_solver(spec: SeparableNLP, mesh,
                 con_l1 = con_l1 + _psum(
                     jnp.sum(jnp.abs(c.x - data.lb - c.s)), ax)
                 bdot = bdot + _psum(
-                    jnp.sum(-c.mu / (c.s + eps) * ds), ax)
+                    jnp.sum(-c.mu / (c.s + guard) * ds), ax)
             nu_thr = bdot / ((1.0 - cfg.rho) * con_l1 + tiny)
             nu = jnp.maximum(c.nu, nu_thr)
 
@@ -360,8 +361,9 @@ def make_separable_solver(spec: SeparableNLP, mesh,
                         mu_new = (0.1 * jnp.minimum(
                             0.05 * (1.0 - xi) / (xi + eps), 2.0) ** 3
                             * sl / ntot)
+                        # floored at cfg.mu_floor (see IPMConfig)
                         return c._replace(mu=jnp.maximum(
-                            mu_new, jnp.zeros((), dtype)))
+                            mu_new, jnp.asarray(cfg.mu_floor, dtype)))
 
                     c = lax.cond(c.signal == 0, mu_upd, lambda c: c, c)
                 return c
