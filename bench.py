@@ -46,15 +46,14 @@ def main():
     solver = make_qp_batch_solver(cfg, nvar=D, nlin=L)
 
     # compile (excluded from timing)
-    res = solver(x0, data)
-    res.x.block_until_ready()
+    res = jax.block_until_ready(solver(x0, data))
 
-    # timed runs
+    # timed runs; vary x0 per rep so no layer can cache or fold the call
     reps = 3
     t0 = time.perf_counter()
-    for _ in range(reps):
-        res = solver(x0, data)
-        res.x.block_until_ready()
+    for rep in range(reps):
+        x0r = x0 + np.float32(1e-3) * (rep + 1)
+        res = jax.block_until_ready(solver(x0r, data))
     elapsed = (time.perf_counter() - t0) / reps
 
     total_iters = int(np.sum(np.asarray(res.iter_count)))

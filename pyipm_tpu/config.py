@@ -50,7 +50,7 @@ class IPMConfig:
 
     # --- TPU-native extensions (absent in the reference) ---
     mu_min: Optional[float] = None  # barrier floor; default machine eps
-    linear_solver: str = "ldlt"    # 'ldlt' (factor-once inertia) or 'lu' (reference parity)
+    linear_solver: str = "condensed"  # 'condensed' (slack-eliminated, default) | 'ldlt' | 'lu'
     max_reg_retries: int = 40      # bound on the delta escalation loop
     max_backtrack: int = 10_000    # bound on the Armijo backtracking loop
     ldlt_block: int = 128          # blocked-factorization panel size
@@ -72,7 +72,7 @@ class IPMConfig:
         assert self.Ftol is None or self.Ftol >= 0.0
         assert self.lbfgs >= 0
         assert self.lbfgs_zeta is None or self.lbfgs_zeta > 0.0
-        assert self.linear_solver in ("ldlt", "lu")
+        assert self.linear_solver in ("condensed", "ldlt", "lu")
 
     # ------------------------------------------------------------------
     @property

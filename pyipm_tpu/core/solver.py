@@ -115,7 +115,17 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
     # ------------------------------------------------------------------
     def direction_exact(st: SolverState):
         """g = -grad; Hc = reghess(hess); dz = solve(Hc, g)
-        (reference pyipm.py:1717-1721)."""
+        (reference pyipm.py:1717-1721).  The default 'condensed' method
+        computes the identical Newton step from the slack-eliminated
+        (D+M)^2 system (ops/condensed.py); 'ldlt'/'lu' factor the full
+        (D+2N+M)^2 matrix like the reference."""
+        if cfg.linear_solver == "condensed":
+            from pyipm_tpu.ops.condensed import condensed_direction
+
+            dz, delta_new, retries = condensed_direction(
+                problem, cfg, st.x, st.s, st.lda, st.mu, st.delta)
+            return dz, st._replace(delta=delta_new,
+                                   reg_retries=st.reg_retries + retries)
         g = -K.grad(problem, st.x, st.s, st.lda, st.mu)
         H = K.kkt_matrix(problem, st.x, st.s, st.lda, st.mu)
         dz, delta_new, retries = reg_solve_kkt(

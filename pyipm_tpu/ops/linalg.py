@@ -178,6 +178,7 @@ def reg_solve_kkt(
     method: str = "ldlt",
     block: int = 128,
     ir_steps: int = 1,
+    want_solver: bool = False,
 ):
     """Regularize H for correct inertia and solve H dz = g.
 
@@ -191,7 +192,10 @@ def reg_solve_kkt(
             across iterations (halved, floored at delta0, pyipm.py:1395).
       2. Solve the corrected system (pyipm.py:1720-1721).
 
-    Returns (dz, delta_new, n_retries).
+    Returns (dz, delta_new, n_retries); with ``want_solver=True`` (ldlt
+    method only) additionally returns a closure solving further
+    right-hand sides against the cached factors (usable within the same
+    trace, e.g. for refinement against a larger outer system).
     """
     D, M, N = nvar, neq, nineq
     K = D + 2 * N + M
@@ -204,6 +208,7 @@ def reg_solve_kkt(
     delta0_ = jnp.asarray(delta0, dtype)
 
     if method == "lu":
+        assert not want_solver
         return _reg_solve_eigh(
             H, g, delta, mu, ex=ex, eeq=eeq, target=target, eps=eps_,
             reg_coef=reg_coef, eta=eta, beta=beta, delta0=delta0_,
@@ -213,7 +218,7 @@ def reg_solve_kkt(
         H, g, delta, mu, ex=ex, eeq=eeq, target=target, eps=eps_,
         reg_coef=reg_coef, eta=eta, beta=beta, delta0=delta0_,
         max_retries=max_retries, has_eq=M > 0, block=block,
-        ir_steps=ir_steps,
+        ir_steps=ir_steps, want_solver=want_solver,
     )
 
 
@@ -299,7 +304,7 @@ def ruiz_scale(H, iters: int = 3):
 
 def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
                     eta, beta, delta0, max_retries, has_eq, block,
-                    ir_steps=1):
+                    ir_steps=1, want_solver=False):
     """Fast path: Ruiz-equilibrated LDL^T, one factorization per retry,
     inertia from pivot signs, factors reused for the solve, plus iterative
     refinement in the ORIGINAL (unscaled) coordinates.
@@ -377,13 +382,17 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
         d_f, L_f, dv_f, t_f = lax.while_loop(
             cond_fn, body_fn, (d1, Lt, dt, jnp.zeros((), jnp.int32)))
         Hf = (H - eq_shift * jnp.diag(eeq) + d_f * jnp.diag(ex))
-        return L_f, dv_f, d_f, t_f, Hf
+        # d_f is both the warm-start delta AND the shift actually applied
+        return L_f, dv_f, d_f, t_f, Hf, (d_f, eq_shift)
 
     def keep(args):
         _, delta_in, L_, dv_ = args
-        return L_, dv_, delta_in, jnp.zeros((), jnp.int32), H
+        # delta_in carries the warm start forward, but NO shift was applied
+        zero = jnp.zeros((), dtype)
+        return (L_, dv_, delta_in, jnp.zeros((), jnp.int32), H,
+                (zero, zero))
 
-    Lf, df, delta_new, retries, Hf = lax.cond(
+    Lf, df, delta_new, retries, Hf, applied_shifts = lax.cond(
         ~ok0, fix, keep, (Hs, delta, L0, d0))
     dz = scaled_solve(Lf, df, g)
     for _ in range(ir_steps):
@@ -392,6 +401,14 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
         r_new = g - Hf @ dz_new
         better = jnp.linalg.norm(r_new) < jnp.linalg.norm(r)
         dz = jnp.where(better, dz_new, dz)
+    if want_solver:
+        def apply_factors(rhs):
+            return scaled_solve(Lf, df, rhs)
+
+        # applied_shifts = (delta actually added to the primal block,
+        # eq-reg actually subtracted from the eq block) — needed by callers
+        # refining against the regularized system (ops/condensed.py)
+        return dz, delta_new, retries, apply_factors, applied_shifts
     return dz, delta_new, retries
 
 
