@@ -49,6 +49,7 @@ class IPMConfig:
     verbosity: int = 1         # -1..3 (pyipm.py:210-212)
 
     # --- TPU-native extensions (absent in the reference) ---
+    matmul_precision: str = "highest"  # TPU MXU passes for solver matmuls
     mu_min: Optional[float] = None  # barrier floor; default machine eps
     linear_solver: str = "condensed"  # 'condensed' (slack-eliminated, default) | 'ldlt' | 'lu'
     max_reg_retries: int = 40      # bound on the delta escalation loop
@@ -73,6 +74,13 @@ class IPMConfig:
         assert self.lbfgs >= 0
         assert self.lbfgs_zeta is None or self.lbfgs_zeta > 0.0
         assert self.linear_solver in ("condensed", "ldlt", "lu")
+        # On TPU, JAX's DEFAULT matmul precision runs f32 matmuls as
+        # bfloat16 MXU passes (8-bit mantissa) — which silently destroys
+        # the factorization accuracy the f32 robustness stack depends on
+        # (observed: Ktol hit rate 43% vs 100%, 10x the iterations).
+        # 'highest' = full f32 via multi-pass; the solver's matmuls are
+        # small, so the 6x MXU cost is noise next to the accuracy win.
+        assert self.matmul_precision in ("default", "high", "highest")
 
     # ------------------------------------------------------------------
     @property

@@ -348,18 +348,25 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
         )
 
     # ------------------------------------------------------------------
+    def _full(x0, s0, lda0):
+        # trace the whole solve at the configured matmul precision: the
+        # TPU default runs f32 matmuls as bf16 MXU passes, which wrecks
+        # the factorization accuracy (see IPMConfig.matmul_precision)
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return finalize(run(init_state(x0, s0, lda0)))
+
     if with_s0 and with_lda0:
         def solve_fn(x0, s0, lda0):
-            return finalize(run(init_state(x0, s0, lda0)))
+            return _full(x0, s0, lda0)
     elif with_s0:
         def solve_fn(x0, s0):
-            return finalize(run(init_state(x0, s0, None)))
+            return _full(x0, s0, None)
     elif with_lda0:
         def solve_fn(x0, lda0):
-            return finalize(run(init_state(x0, None, lda0)))
+            return _full(x0, None, lda0)
     else:
         def solve_fn(x0):
-            return finalize(run(init_state(x0)))
+            return _full(x0, None, None)
 
     solve_fn.init_state = init_state
     solve_fn.run = run

@@ -396,8 +396,13 @@ def make_separable_solver(spec: SeparableNLP, mesh,
         x=blk, s=blk, z=blk, lc=rep, fval=rep, kkt=rep, signal=rep,
         iter_count=rep, mu=rep, nu=rep)
 
+    def local_solve_precise(x0, data):
+        # full-f32 matmul passes (see IPMConfig.matmul_precision)
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return local_solve(x0, data)
+
     sharded = jax.shard_map(
-        local_solve, mesh=mesh,
+        local_solve_precise, mesh=mesh,
         in_specs=(blk, data_specs), out_specs=out_specs,
         check_vma=False,
     )
