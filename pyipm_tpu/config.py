@@ -55,6 +55,10 @@ class IPMConfig:
     max_reg_retries: int = 40      # bound on the delta escalation loop
     max_backtrack: int = 10_000    # bound on the Armijo backtracking loop
     ldlt_block: int = 128          # blocked-factorization panel size
+    trace_metrics: bool = False    # record per-iteration metric arrays
+    inject_solve_fault: float = 0.0  # fault-injection: perturb dz by this
+    #                                  relative magnitude (tests the
+    #                                  line-search/signal recovery path)
 
     def __post_init__(self):
         # Reference validation (pyipm.py:385-408), evaluated eagerly at

@@ -39,6 +39,17 @@ from pyipm_tpu.core.problem import Problem
 from pyipm_tpu.ops.linalg import reg_solve_kkt
 
 
+class MetricsHistory(NamedTuple):
+    """Per-iteration metric traces (observability the reference lacks —
+    it only prints, SURVEY.md §5).  Fixed-size buffers indexed by
+    iter_count; empty (T=0) when tracing is off."""
+    kkt: jnp.ndarray     # (T, 4)
+    mu: jnp.ndarray      # (T,)
+    nu: jnp.ndarray      # (T,)
+    alpha: jnp.ndarray   # (T,)
+    delta: jnp.ndarray   # (T,)
+
+
 class SolverState(NamedTuple):
     """Immutable per-instance solver state — the while_loop carry and the
     checkpoint unit (the reference keeps the equivalent scattered across
@@ -62,6 +73,7 @@ class SolverState(NamedTuple):
     lbfgs: LBFGSState
     x_old: jnp.ndarray           # previous iterate (L-BFGS)
     g: jnp.ndarray               # cached -grad (L-BFGS)
+    hist: MetricsHistory
 
 
 class SolverResult(NamedTuple):
@@ -78,6 +90,7 @@ class SolverResult(NamedTuple):
     nu: jnp.ndarray
     delta: jnp.ndarray
     reg_retries: jnp.ndarray
+    hist: MetricsHistory
 
 
 # ----------------------------------------------------------------------
@@ -203,11 +216,28 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
             a_s = jnp.ones((), dtype)
             a_l = jnp.ones((), dtype)
 
+        if cfg.inject_solve_fault:
+            # fault-injection hook (SURVEY.md §5): corrupt the computed
+            # direction by a deterministic relative perturbation; the
+            # merit line search / signal taxonomy must absorb or flag it
+            dz = dz + cfg.inject_solve_fault * jnp.roll(dz, 1)
+
         res = search(problem, cfg, st.x, st.s, st.lda, dz, a_s, a_l,
                      st.mu, st.nu, st.signal)
         st = st._replace(x=res.x, s=res.s, lda=res.lda, signal=res.signal,
                          alpha=res.alpha, iter_count=st.iter_count + 1)
         st = st._replace(kkt=K.kkt_norms(problem, st.x, st.s, st.lda, st.mu))
+
+        if cfg.trace_metrics:
+            t = st.iter_count - 1
+            h = st.hist
+            st = st._replace(hist=MetricsHistory(
+                kkt=h.kkt.at[t].set(st.kkt),
+                mu=h.mu.at[t].set(st.mu),
+                nu=h.nu.at[t].set(st.nu),
+                alpha=h.alpha.at[t].set(st.alpha),
+                delta=h.delta.at[t].set(st.delta),
+            ))
 
         if cfg.Ftol is not None and N == 0:
             # per-inner-iteration Ftol test, unconstrained/eq-only
@@ -328,6 +358,11 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
             g0 = -K.grad(problem, x, s, lda, mu0)
         else:
             g0 = jnp.zeros((Ktot,), dtype)
+        T = cfg.niter * cfg.miter if cfg.trace_metrics else 0
+        hist = MetricsHistory(
+            kkt=jnp.zeros((T, 4), dtype), mu=jnp.zeros((T,), dtype),
+            nu=jnp.zeros((T,), dtype), alpha=jnp.zeros((T,), dtype),
+            delta=jnp.zeros((T,), dtype))
         return SolverState(
             x=x, s=s, lda=lda, mu=mu0, nu=nu0,
             delta=jnp.zeros((), dtype), kkt=kkt0,
@@ -336,7 +371,7 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
             f_past=f_past, alpha=jnp.zeros((), dtype),
             reg_retries=_i32(0),
             lbfgs=lbfgs_init(D, cfg.lbfgs_mem, cfg.zeta0, dtype),
-            x_old=x, g=g0,
+            x_old=x, g=g0, hist=hist,
         )
 
     def finalize(st: SolverState) -> SolverResult:
@@ -344,7 +379,7 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
             x=st.x, s=st.s, lda=st.lda, fval=problem.f_val(st.x),
             kkt=st.kkt, signal=st.signal, iter_count=st.iter_count,
             outer=st.outer, inner=st.inner, mu=st.mu, nu=st.nu,
-            delta=st.delta, reg_retries=st.reg_retries,
+            delta=st.delta, reg_retries=st.reg_retries, hist=st.hist,
         )
 
     # ------------------------------------------------------------------

@@ -1,0 +1,288 @@
+"""Pallas TPU kernels for the batched small-KKT hot path.
+
+The headline workload (BASELINE.md config 3) factors tens of thousands of
+SMALL symmetric systems per solver iteration.  XLA's lowering of the
+vmapped factorization is a sequence of per-column masked matvecs over a
+(B, n, n) batch — correct, but each column step is a separate fusion with
+the batch striding through sublanes.
+
+These kernels use the classic lane-batched layout instead: the operand is
+transposed to (n, n, B) so the LAST axis (TPU lanes, 128 wide) runs across
+problem instances, and every operation of the factorization/substitution
+becomes a fully lane-parallel VPU op.  One grid step processes 128
+instances resident in VMEM with zero intermediate HBM traffic.
+
+A single-panel (B, B) kernel is also provided for the LARGE-n blocked
+factorization (ops/linalg.py): XLA lowers the unblocked panel loop as B
+sequential fusions whose dispatch latency dominates; in-kernel the whole
+panel stays in VMEM.
+
+All kernels use masked whole-array extraction/update instead of dynamic
+slicing — Mosaic does not lower ``lax.dynamic_slice`` on values, and the
+masked forms are plain VPU elementwise work.
+
+Integration is via ``jax.custom_batching.custom_vmap``: unbatched calls
+lower to the plain JAX implementation (ops/linalg.py), while ``vmap`` —
+i.e. exactly the batched-scenario path — dispatches to the kernels on TPU
+(CPU and other backends keep the XLA fallback).  The solver code does not
+change at all.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pyipm_tpu.ops import linalg as _lin
+
+LANE = 128
+# largest per-instance system handled by the lane-batched kernels; above
+# this the blocked XLA path (MXU matmuls) wins anyway
+MAX_N = 128
+
+
+# ----------------------------------------------------------------------
+# lane-batched kernels (operands shaped (n, n, LANE) / (n, LANE))
+def _factor_kernel(a_ref, l_ref, d_ref):
+    """Right-looking unpivoted LDL^T, vectorized across lanes.
+
+    Per column j: pivot d_j = A[j,j,:], scaled column becomes L[:,j,:],
+    rank-1 trailing update A -= col x col * d — all (n, n, LANE)
+    elementwise VPU work, no cross-lane traffic."""
+    A = a_ref[:]
+    n = A.shape[0]
+    dtype = A.dtype
+    rows3 = lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    cols3 = lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    rows2 = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def body(j, carry):
+        A, L, dv = carry
+        rm = (rows3 == j).astype(dtype)
+        cm = (cols3 == j).astype(dtype)
+        dj = jnp.sum(A * rm * cm, axis=(0, 1))                 # (LANE,)
+        safe = jnp.where(jnp.abs(dj) > 0, dj, jnp.ones((), dtype))
+        colj = jnp.sum(A * cm, axis=1)                         # (n, LANE)
+        col = jnp.where(rows2 > j, colj / safe[None, :],
+                        jnp.zeros((), dtype))
+        Lcol = col + jnp.where(rows2 == j, jnp.ones((), dtype),
+                               jnp.zeros((), dtype))
+        L = jnp.where(cols3 == j, Lcol[:, None, :], L)
+        dv = jnp.where(rows2 == j, dj[None, :], dv)            # dv (n, LANE)
+        A = A - col[:, None, :] * col[None, :, :] * dj[None, None, :]
+        return A, L, dv
+
+    L0 = jnp.zeros_like(A)
+    d0 = jnp.zeros((n, A.shape[2]), dtype)
+    _, L, dv = lax.fori_loop(0, n, body, (A, L0, d0))
+    l_ref[:] = L
+    d_ref[:] = dv
+
+
+def _solve_kernel(l_ref, d_ref, b_ref, x_ref):
+    """(L diag(d) L^T) x = b by lane-parallel forward/backward
+    substitution."""
+    L = l_ref[:]
+    dv = d_ref[:]
+    b = b_ref[:]
+    n = L.shape[0]
+    dtype = L.dtype
+    rows3 = lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    cols3 = lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    rows2 = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def fwd(j, y):
+        rm = (rows3 == j).astype(dtype)
+        Lrow = jnp.sum(L * rm, axis=0)                         # (n, LANE)
+        Lrow = jnp.where(rows2 < j, Lrow, jnp.zeros((), dtype))
+        bj = jnp.sum(b * (rows2 == j).astype(dtype), axis=0)   # (LANE,)
+        yj = bj - jnp.sum(Lrow * y, axis=0)
+        return jnp.where(rows2 == j, yj[None, :], y)
+
+    y = lax.fori_loop(0, n, fwd, jnp.zeros_like(b))
+    safe = jnp.where(jnp.abs(dv) > 0, dv, jnp.ones((), dtype))
+    z = y / safe
+
+    def bwd(t, x):
+        j = n - 1 - t
+        cm = (cols3 == j).astype(dtype)
+        Lcol = jnp.sum(L * cm, axis=1)                         # (n, LANE)
+        Lcol = jnp.where(rows2 > j, Lcol, jnp.zeros((), dtype))
+        zj = jnp.sum(z * (rows2 == j).astype(dtype), axis=0)
+        xj = zj - jnp.sum(Lcol * x, axis=0)
+        return jnp.where(rows2 == j, xj[None, :], x)
+
+    x = lax.fori_loop(0, n, bwd, jnp.zeros_like(b))
+    x_ref[:] = x
+
+
+# ----------------------------------------------------------------------
+# lane-batched wrappers over (B, n, n) / (B, n)
+def _pad_lanes(B):
+    return -(-B // LANE) * LANE
+
+
+def batched_ldlt_factor(A):
+    """A (B, n, n) -> (L (B, n, n), d (B, n)) via the lane-batched kernel."""
+    B, n, _ = A.shape
+    Bp = _pad_lanes(B)
+    At = jnp.moveaxis(A, 0, -1)                        # (n, n, B)
+    if Bp != B:
+        At = jnp.pad(At, ((0, 0), (0, 0), (0, Bp - B)))
+        # padded instances factor the zero matrix — harmless
+    grid = Bp // LANE
+    L, d = pl.pallas_call(
+        _factor_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((n, n, LANE), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((n, n, LANE), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, LANE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, n, Bp), A.dtype),
+            jax.ShapeDtypeStruct((n, Bp), A.dtype),
+        ],
+    )(At)
+    L = jnp.moveaxis(L[:, :, :B], -1, 0)
+    d = jnp.moveaxis(d[:, :B], -1, 0)
+    return L, d
+
+
+def batched_ldlt_solve(L, d, b):
+    """(B, n, n), (B, n), (B, n) -> (B, n)."""
+    B, n, _ = L.shape
+    Bp = _pad_lanes(B)
+    Lt = jnp.moveaxis(L, 0, -1)
+    dt = jnp.moveaxis(d, 0, -1)
+    bt = jnp.moveaxis(b, 0, -1)
+    if Bp != B:
+        pad = ((0, 0), (0, 0), (0, Bp - B))
+        Lt = jnp.pad(Lt, pad)
+        dt = jnp.pad(dt, ((0, 0), (0, Bp - B)))
+        bt = jnp.pad(bt, ((0, 0), (0, Bp - B)))
+    grid = Bp // LANE
+    x = pl.pallas_call(
+        _solve_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((n, n, LANE), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, LANE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, LANE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, LANE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, Bp), L.dtype),
+    )(Lt, dt, bt)
+    return jnp.moveaxis(x[:, :B], -1, 0)
+
+
+# ----------------------------------------------------------------------
+# single-panel kernel for the large-n blocked factorization
+def _panel_kernel(a_ref, lt_ref, d_ref):
+    A = a_ref[:]
+    n = A.shape[0]
+    dtype = A.dtype
+    rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+    def body(j, carry):
+        A, Lt, dv = carry
+        rc = ((rows == j) & (cols == j)).astype(dtype)
+        dj = jnp.sum(A * rc)
+        safe = jnp.where(jnp.abs(dj) > 0, dj, jnp.ones((), dtype))
+        colj = jnp.sum(A * (cols == j).astype(dtype), axis=1,
+                       keepdims=True)                          # (n, 1)
+        col = jnp.where(rows > j, colj / safe, jnp.zeros((), dtype))
+        # store L's column j as ROW j of Lt (sublane-contiguous write)
+        newrow = col.T + jnp.where(cols == j, jnp.ones((), dtype),
+                                   jnp.zeros((), dtype))
+        Lt = jnp.where(rows == j, newrow, Lt)
+        dv = jnp.where(cols == j, dj, dv)                      # dv (1, n)
+        # rank-1 trailing update A_ik -= col_i * col_k * d (col already
+        # masked to rows > j)
+        A = A - (col * safe) * col.T
+        return A, Lt, dv
+
+    L0 = jnp.zeros_like(A)
+    d0 = jnp.zeros((1, n), dtype)
+    _, Lt, dv = lax.fori_loop(0, n, body, (A, L0, d0))
+    lt_ref[:] = Lt
+    d_ref[:] = dv
+
+
+def panel_ldlt(A):
+    """(B, B) LDL^T via one Pallas program; returns (L, d)."""
+    n = A.shape[0]
+    Lt, d = pl.pallas_call(
+        _panel_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, n), A.dtype),
+            jax.ShapeDtypeStruct((1, n), A.dtype),
+        ],
+    )(A)
+    return Lt.T, d[0]
+
+
+def _use_pallas(n: int) -> bool:
+    try:
+        return n <= MAX_N and jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+# ----------------------------------------------------------------------
+# custom_vmap dispatch: unbatched -> plain JAX; vmapped on TPU -> kernels
+@jax.custom_batching.custom_vmap
+def ldlt_factor_small(A):
+    """Single-instance LDL^T for n <= 128 (batched calls hit the Pallas
+    lane kernel on TPU via the custom_vmap rule below)."""
+    return _lin.ldlt_unblocked(A)
+
+
+@ldlt_factor_small.def_vmap
+def _factor_vmap_rule(axis_size, in_batched, A):
+    (a_batched,) = in_batched
+    assert a_batched
+    n = A.shape[-1]
+    if _use_pallas(n):
+        L, d = batched_ldlt_factor(A)
+    else:
+        L, d = jax.vmap(_lin.ldlt_unblocked)(A)
+    return (L, d), (True, True)
+
+
+@jax.custom_batching.custom_vmap
+def ldlt_solve_small(L, d, b):
+    return _lin.ldlt_solve(L, d, b)
+
+
+@ldlt_solve_small.def_vmap
+def _solve_vmap_rule(axis_size, in_batched, L, d, b):
+    lb, db, bb = in_batched
+    # broadcast any unbatched operand (shouldn't occur in the solver)
+    if not (lb and db and bb):
+        f = jax.vmap(
+            _lin.ldlt_solve,
+            in_axes=tuple(0 if x else None for x in (lb, db, bb)))
+        return f(L, d, b), True
+    n = L.shape[-1]
+    if _use_pallas(n):
+        x = batched_ldlt_solve(L, d, b)
+    else:
+        x = jax.vmap(_lin.ldlt_solve)(L, d, b)
+    return x, True

@@ -1,0 +1,71 @@
+"""Multi-host runtime helpers.
+
+The reference is strictly single-process (SURVEY.md §2 absence table); the
+TPU-native replacement for the launcher/communication-backend role is
+``jax.distributed`` + a global device mesh.  Each host runs the SAME
+program; XLA compiles the shard_map/psum collectives onto ICI within a
+slice and DCN across slices.
+
+Typical multi-host launch (one process per host):
+
+    from pyipm_tpu.parallel import distributed as dist
+    dist.initialize()                       # env-driven on TPU pods
+    mesh = dist.global_batch_mesh()         # all devices, 'batch' axis
+    fn = make_batch_solver(problem, cfg, mesh=mesh)
+    res = fn(x0_global)                     # inputs sharded over hosts
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Initialize the multi-host runtime (no-op when single-process).
+
+    On Cloud TPU pods all arguments are discovered from the environment;
+    pass them explicitly for CPU/GPU clusters
+    (``jax.distributed.initialize`` contract)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    if coordinator_address is None and num_processes is None:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            # single-process / no coordinator configured: run locally
+            return
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+
+
+def global_batch_mesh() -> jax.sharding.Mesh:
+    """1-D mesh over ALL devices of all hosts with a ``batch`` axis."""
+    return jax.sharding.Mesh(
+        np.asarray(jax.devices()), ("batch",),
+        axis_types=(jax.sharding.AxisType.Auto,))
+
+
+def global_solver_mesh(batch: int, model: int) -> jax.sharding.Mesh:
+    """2-D (batch, model) mesh over all devices; ``model`` should map to
+    devices sharing ICI (the Schur psum rides that axis)."""
+    devs = np.asarray(jax.devices())
+    assert batch * model == devs.size, (
+        f"mesh {batch}x{model} != {devs.size} devices")
+    return jax.sharding.Mesh(
+        devs.reshape(batch, model), ("batch", "model"),
+        axis_types=(jax.sharding.AxisType.Auto,) * 2)
+
+
+def host_local_slice(global_batch: int) -> slice:
+    """The [start, stop) slice of a leading global batch axis owned by
+    this host (for building host-local input shards)."""
+    per = global_batch // jax.process_count()
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)

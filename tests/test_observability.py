@@ -1,0 +1,64 @@
+"""Metrics tracing, fault injection, and profiling hooks (SURVEY.md §5 —
+subsystems the reference lacks entirely)."""
+
+import numpy as np
+
+from pyipm_tpu import IPMConfig, solve
+from pyipm_tpu.models import REFERENCE_PROBLEMS
+
+
+def test_metrics_history():
+    spec = REFERENCE_PROBLEMS[7]
+    prob = spec.make()
+    rng = np.random.default_rng(42)
+    cfg = IPMConfig(Ftol=1e-8, verbosity=0, trace_metrics=True)
+    res = solve(prob, spec.sample_x0(rng), cfg)
+    T = cfg.niter * cfg.miter
+    n = int(res.iter_count)
+    assert res.hist.kkt.shape == (T, 4)
+    kkt = np.asarray(res.hist.kkt)
+    mu = np.asarray(res.hist.mu)
+    alpha = np.asarray(res.hist.alpha)
+    # recorded iterations are populated, the tail stays zero
+    assert np.all(kkt[:n].sum(axis=1) > 0)
+    assert np.all(kkt[n:] == 0)
+    # mu trace matches the barrier schedule: nonincreasing across recorded
+    # outer boundaries (mu only decreases, pyipm.py:1804-1814)
+    assert mu[0] >= mu[n - 1]
+    # steps were taken
+    assert np.any(alpha[:n] > 0)
+    # final recorded kkt matches the result
+    np.testing.assert_allclose(kkt[n - 1], np.asarray(res.kkt), rtol=1e-12)
+
+
+def test_metrics_off_by_default():
+    spec = REFERENCE_PROBLEMS[1]
+    prob = spec.make()
+    rng = np.random.default_rng(42)
+    res = solve(prob, spec.sample_x0(rng), IPMConfig(verbosity=0))
+    assert res.hist.kkt.shape == (0, 4)
+
+
+def test_fault_injection_small_fault_recovers():
+    """A small injected direction fault must be absorbed by the merit line
+    search (solver still converges)."""
+    spec = REFERENCE_PROBLEMS[5]
+    prob = spec.make()
+    rng = np.random.default_rng(42)
+    cfg = IPMConfig(Ftol=1e-8, verbosity=0, inject_solve_fault=1e-4,
+                    niter=20)
+    res = solve(prob, spec.sample_x0(rng), cfg)
+    assert int(res.signal) in (1, 2)
+    assert spec.distance_to_truth(res.x) <= 5e-3
+
+
+def test_fault_injection_large_fault_flagged():
+    """A catastrophic fault must terminate with a defined signal, not
+    NaNs or a hang."""
+    spec = REFERENCE_PROBLEMS[5]
+    prob = spec.make()
+    rng = np.random.default_rng(42)
+    cfg = IPMConfig(verbosity=0, inject_solve_fault=50.0)
+    res = solve(prob, spec.sample_x0(rng), cfg)
+    assert int(res.signal) in (1, 2, -1, -2)
+    assert np.all(np.isfinite(np.asarray(res.x)))

@@ -1,0 +1,93 @@
+"""Pallas lane-batched LDL^T kernels vs the plain-JAX reference
+implementation (SURVEY.md §4: Pallas-kernel-vs-jax.numpy equivalence).
+
+On CPU the kernels run in interpret mode for bit-level checking; the
+custom_vmap dispatch itself falls back to XLA off-TPU, so these tests
+exercise the kernel bodies explicitly via interpret mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from pyipm_tpu.ops import pallas_ldlt as pk
+from pyipm_tpu.ops.linalg import ldlt_solve, ldlt_unblocked
+
+
+def _rand_sym(rng, B, n):
+    A = rng.standard_normal((B, n, n))
+    A = (A + np.swapaxes(A, 1, 2)) / 2 + np.eye(n) * (n / 4)
+    return jnp.asarray(A, jnp.float32)
+
+
+@pytest.mark.parametrize("B,n", [(128, 16), (256, 24), (130, 8)])
+def test_batched_factor_matches_reference(rng, B, n):
+    A = _rand_sym(rng, B, n)
+    with pltpu.force_tpu_interpret_mode():
+        L, d = pk.batched_ldlt_factor(A)
+    Lr, dr = jax.vmap(ldlt_unblocked)(A)
+    # right-looking (kernel) vs left-looking (reference) agree to f32
+    # roundoff accumulation; the hard criterion is reconstruction
+    np.testing.assert_allclose(np.asarray(d), np.asarray(dr),
+                               rtol=5e-3, atol=1e-3)
+    rec = np.einsum("bij,bj,bkj->bik", np.asarray(L), np.asarray(d),
+                    np.asarray(L))
+    scale = np.max(np.abs(np.asarray(A)))
+    np.testing.assert_allclose(rec, np.asarray(A),
+                               atol=5e-5 * scale * n, rtol=1e-4)
+    # inertia (the quantity the solver reads off d) must agree exactly
+    np.testing.assert_array_equal(np.asarray(d) < 0, np.asarray(dr) < 0)
+
+
+@pytest.mark.parametrize("B,n", [(128, 16), (129, 12)])
+def test_batched_solve_matches_reference(rng, B, n):
+    A = _rand_sym(rng, B, n)
+    b = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+    Lr, dr = jax.vmap(ldlt_unblocked)(A)
+    with pltpu.force_tpu_interpret_mode():
+        x = pk.batched_ldlt_solve(Lr, dr, b)
+    xr = jax.vmap(ldlt_solve)(Lr, dr, b)
+    # kernel reductions accumulate in a different order than the XLA loop
+    np.testing.assert_allclose(np.asarray(x), np.asarray(xr),
+                               rtol=2e-3, atol=6e-3)
+    # and it actually solves the system (scale-relative residual)
+    res = np.einsum("bij,bj->bi", np.asarray(A), np.asarray(x)) \
+        - np.asarray(b)
+    scale = np.max(np.abs(np.asarray(A))) * np.max(np.abs(np.asarray(x)))
+    assert np.max(np.abs(res)) < 1e-4 * scale * n
+
+
+@pytest.mark.parametrize("n", [64, 128])
+def test_panel_kernel_matches_reference(rng, n):
+    A = _rand_sym(rng, 1, n)[0]
+    with pltpu.force_tpu_interpret_mode():
+        L, d = pk.panel_ldlt(A)
+    Lr, dr = ldlt_unblocked(A)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(dr),
+                               rtol=5e-3, atol=1e-3)
+    rec = np.asarray(L) @ np.diag(np.asarray(d)) @ np.asarray(L).T
+    scale = float(np.max(np.abs(np.asarray(A))))
+    np.testing.assert_allclose(rec, np.asarray(A),
+                               atol=5e-5 * scale * n, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(d) < 0, np.asarray(dr) < 0)
+
+
+def test_custom_vmap_dispatch_unbatched(rng):
+    """Unbatched calls use the plain implementation."""
+    A = _rand_sym(rng, 1, 16)[0]
+    L, d = pk.ldlt_factor_small(A)
+    Lr, dr = ldlt_unblocked(A)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(Lr), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(dr), rtol=1e-6)
+
+
+def test_custom_vmap_dispatch_batched_cpu_fallback(rng):
+    """vmapped calls off-TPU fall back to the XLA implementation and
+    match it exactly."""
+    A = _rand_sym(rng, 8, 16)
+    L, d = jax.vmap(pk.ldlt_factor_small)(A)
+    Lr, dr = jax.vmap(ldlt_unblocked)(A)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(Lr), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(dr), rtol=1e-6)
