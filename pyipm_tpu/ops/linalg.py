@@ -91,10 +91,8 @@ def ldlt_factor(A, block: int = 128):
         W = A
     rows = jnp.arange(npad)
 
-    try:
-        use_panel_kernel = jax.default_backend() == "tpu"
-    except Exception:
-        use_panel_kernel = False
+    from pyipm_tpu.ops import pallas_ldlt as _pk
+    use_panel_kernel = _pk._use_pallas(block)
     if use_panel_kernel:
         # VMEM-resident Pallas panel factorization: XLA lowers the
         # unblocked loop as `block` sequential fusions whose dispatch

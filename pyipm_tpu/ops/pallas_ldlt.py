@@ -238,7 +238,32 @@ def panel_ldlt(A):
     return Lt.T, d[0]
 
 
+# Trace-time opt-out for computations staged onto a non-default backend
+# (e.g. a virtual CPU mesh in a process whose default backend is the TPU):
+# jax.default_backend() reflects the process default, not the placement of
+# the computation being traced, so callers targeting another platform flip
+# this via disable_pallas().
+_FORCE_DISABLE = False
+
+
+class disable_pallas:
+    """Context manager: force the plain-XLA fallback for code traced inside."""
+
+    def __enter__(self):
+        global _FORCE_DISABLE
+        self._prev = _FORCE_DISABLE
+        _FORCE_DISABLE = True
+        return self
+
+    def __exit__(self, *exc):
+        global _FORCE_DISABLE
+        _FORCE_DISABLE = self._prev
+        return False
+
+
 def _use_pallas(n: int) -> bool:
+    if _FORCE_DISABLE:
+        return False
     try:
         return n <= MAX_N and jax.default_backend() == "tpu"
     except Exception:
