@@ -45,16 +45,45 @@ def main():
 
     solver = make_qp_batch_solver(cfg, nvar=D, nlin=L)
 
-    # compile (excluded from timing)
+    # compile (excluded from timing); also the reported convergence stats
     res = jax.block_until_ready(solver(x0, data))
 
-    # timed runs; vary x0 per rep so no layer can cache or fold the call
-    reps = 3
-    t0 = time.perf_counter()
-    for rep in range(reps):
-        x0r = x0 + np.float32(1e-3) * (rep + 1)
-        res = jax.block_until_ready(solver(x0r, data))
-    elapsed = (time.perf_counter() - t0) / reps
+    # --- timing methodology -------------------------------------------
+    # On a tunneled/remote chip, per-dispatch sync latency is tens of ms
+    # and block_until_ready is not a reliable barrier, so wall-clocking
+    # individual dispatches measures the transport, not the solver.
+    # Ground truth: run the solve R times INSIDE one jit (lax.fori_loop,
+    # each rep consuming a different staged x0 so nothing folds), fetch
+    # one scalar, and difference rep(R) against rep(1) — the constant
+    # dispatch+fetch overhead cancels exactly.
+    reps = int(os.environ.get("BENCH_REPS", 8))
+    x0_stack = jnp.stack(
+        [x0 + jnp.float32(1e-3) * (r + 1) for r in range(reps)])
+
+    unjit = make_qp_batch_solver(cfg, nvar=D, nlin=L, jit=False)
+
+    def make_rep(R):
+        @jax.jit
+        def rep(x0_stack, data):
+            def body(i, acc):
+                r = unjit(x0_stack[i], data)
+                return (acc + jnp.sum(r.x)
+                        + jnp.sum(r.iter_count).astype(jnp.float32))
+            return jax.lax.fori_loop(0, R, body, jnp.zeros((), jnp.float32))
+        return rep
+
+    def timed(fn, *a, trials=3):
+        float(fn(*a))                      # warm/compile + sync
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(fn(*a))                  # scalar fetch = real barrier
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_one = timed(make_rep(1), x0_stack, data)
+    t_all = timed(make_rep(reps), x0_stack, data)
+    elapsed = max((t_all - t_one) / (reps - 1), 1e-9)
 
     total_iters = int(np.sum(np.asarray(res.iter_count)))
     iters_per_sec = total_iters / elapsed
@@ -78,13 +107,12 @@ def main():
     inst = lambda i: QPData(*(jnp.asarray(a[i]) for a in sub))
     single(x0_single, inst(0)).x.block_until_ready()  # compile
 
+    insts = jax.block_until_ready([inst(i) for i in range(nb)])
     t0 = time.perf_counter()
-    base_iters = 0
-    for i in range(nb):
-        ri = single(x0_single, inst(i))
-        ri.x.block_until_ready()
-        base_iters += int(ri.iter_count)
-    base_elapsed = time.perf_counter() - t0
+    rs = [single(x0_single, di) for di in insts]   # async dispatch,
+    jax.block_until_ready(rs)                      # one final sync:
+    base_elapsed = time.perf_counter() - t0        # generous to baseline
+    base_iters = sum(int(ri.iter_count) for ri in rs)
     base_iters_per_sec = max(base_iters, 1) / base_elapsed
 
     out = {

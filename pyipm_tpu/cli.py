@@ -25,7 +25,11 @@ def main(argv=None):
                     help="use float32 (default float64)")
     ap.add_argument("--verbosity", type=int, default=1)
     ap.add_argument("--seed", type=int, default=None)
-    ap.add_argument("--linear-solver", choices=["ldlt", "lu"], default="ldlt")
+    ap.add_argument("--linear-solver",
+                    choices=["condensed", "ldlt", "lu"], default="ldlt")
+    ap.add_argument("--profile", metavar="LOGDIR", default=None,
+                    help="dump a TensorBoard/Perfetto trace of the solve "
+                         "to LOGDIR (jax.profiler)")
     args = ap.parse_args(argv)
 
     from pyipm_tpu.api import IPM
@@ -42,7 +46,12 @@ def main(argv=None):
     p = IPM(x0=x0, f=spec.f, ce=spec.ce, ci=spec.ci, Ftol=1.0E-8,
             lbfgs=args.lbfgs, float_dtype=dtype, verbosity=args.verbosity,
             linear_solver=args.linear_solver)
-    x, s, lda, fval, kkt = p.solve()
+    if args.profile:
+        from pyipm_tpu.utils.profiling import trace
+        with trace(args.profile):
+            x, s, lda, fval, kkt = p.solve()
+    else:
+        x, s, lda, fval, kkt = p.solve()
 
     print("")
     print("Ground truth (any of): {}".format(

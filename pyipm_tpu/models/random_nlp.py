@@ -75,8 +75,10 @@ def make_qp_problem(data: QPData, nvar: int, nlin: int) -> Problem:
     return Problem(f=f, nvar=nvar, nineq=2 * nvar + nlin, ci=ci)
 
 
-def make_qp_batch_solver(config: IPMConfig, nvar: int, nlin: int = 4):
-    """Jitted, vmapped solver over (x0_batch, QPData_batch)."""
+def make_qp_batch_solver(config: IPMConfig, nvar: int, nlin: int = 4,
+                         jit: bool = True):
+    """Jitted, vmapped solver over (x0_batch, QPData_batch); pass
+    ``jit=False`` for a traceable version to embed in larger programs."""
     cfg = config.replace(verbosity=0)
 
     def solve_one(x0, data: QPData):
@@ -84,7 +86,8 @@ def make_qp_batch_solver(config: IPMConfig, nvar: int, nlin: int = 4):
         fn = make_solver(prob, cfg, jit=False)
         return fn(x0)
 
-    return jax.jit(jax.vmap(solve_one))
+    fn = jax.vmap(solve_one)
+    return jax.jit(fn) if jit else fn
 
 
 # ----------------------------------------------------------------------

@@ -62,20 +62,25 @@ def ldlt_unblocked(A):
     return lax.fori_loop(0, n, body, (L0, d0), unroll=False)
 
 
-def ldlt_factor(A, block: int = 128):
-    """Blocked right-looking LDL^T.
+def ldlt_factor(A, block: int = 128, segments: int = 4):
+    """Blocked right-looking LDL^T with a segmented trailing update.
 
     Pads to a multiple of ``block`` with an identity tail (which contributes
     unit pivots and leaves the leading inertia untouched) and factors panel
-    by panel inside ONE ``fori_loop`` body: the panel position is a traced
+    by panel inside a ``fori_loop`` body: the panel position is a traced
     index handled with fixed-size dynamic slices, the panel solve uses the
-    unblocked kernel + a triangular solve, and the trailing update is a
-    single full-height (n, B) x (B, n) MXU matmul per step (rows above the
-    panel are masked to zero, so the 'trailing' restriction is implicit).
-    This keeps the compiled program size INDEPENDENT of n — a statically
+    unblocked kernel + a triangular solve, and the trailing update is one
+    (m, B) x (B, m) MXU matmul per step (rows above the panel are masked to
+    zero, so the 'trailing' restriction is implicit).  The loop keeps the
+    compiled program size INDEPENDENT of the panel count — a statically
     unrolled block loop at n=4352 took the TPU compiler tens of minutes.
-    Extra flops vs a true trailing-only update (3x) are MXU-cheap; HBM
-    traffic is n^2 per step.
+
+    A single loop at the full size m = n does 3x the minimal n^3/3 flops
+    (every step updates the full height).  Splitting the panel range into
+    ``segments`` contiguous chunks, each operating on its STATIC trailing
+    submatrix (m shrinks chunk by chunk), cuts that to ~1.4x at
+    segments=4 while adding only ``segments`` loop bodies to the program —
+    measured 1.8x faster at n=4352 on v5e.
     """
     n = A.shape[0]
     if n <= block:
@@ -89,46 +94,62 @@ def ldlt_factor(A, block: int = 128):
         W = W.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
     else:
         W = A
-    rows = jnp.arange(npad)
 
     from pyipm_tpu.ops import pallas_ldlt as _pk
-    use_panel_kernel = _pk._use_pallas(block)
-    if use_panel_kernel:
+    if _pk._use_pallas(block):
         # VMEM-resident Pallas panel factorization: XLA lowers the
         # unblocked loop as `block` sequential fusions whose dispatch
         # latency dominates at these sizes
-        from pyipm_tpu.ops.pallas_ldlt import panel_ldlt
-        panel_factor = panel_ldlt
+        panel_factor = _pk.panel_ldlt
     else:
         panel_factor = ldlt_unblocked
 
-    def body(k, carry):
-        W, L, d = carry
-        j0 = k * block
-        Wkk = lax.dynamic_slice(W, (j0, j0), (block, block))
-        Lkk, dk = panel_factor(Wkk)
-        safe = jnp.where(jnp.abs(dk) > 0, dk, jnp.ones((), dtype))
-        P = lax.dynamic_slice(W, (0, j0), (npad, block))    # column slab
-        # Y = P L11^{-T} for sub-panel rows; rows <= panel are masked out
-        Y = solve_triangular(Lkk, P.T, lower=True, unit_diagonal=True).T
-        below = (rows >= j0 + block)[:, None].astype(dtype)
-        Yb = Y * below
-        L21 = Yb / safe[None, :]
-        # write the (npad, block) column slab of L: Lkk rows on the
-        # diagonal block, L21 below, zeros above
-        in_blk = ((rows >= j0) & (rows < j0 + block))[:, None].astype(dtype)
-        Lkk_full = jnp.zeros((npad, block), dtype)
-        Lkk_full = lax.dynamic_update_slice(Lkk_full, Lkk, (j0, 0))
-        slab = Lkk_full * in_blk + L21
-        L = lax.dynamic_update_slice(L, slab, (0, k * block))
-        d = lax.dynamic_update_slice(d, dk, (j0,))
-        # trailing update (implicitly restricted by the row mask)
-        W = W - L21 @ Yb.T
-        return W, L, d
+    nseg = max(1, min(int(segments), nb))
+    base, rem = divmod(nb, nseg)
+    sizes = [base + (1 if s_ < rem else 0) for s_ in range(nseg)]
 
-    L0 = jnp.zeros((npad, npad), dtype)
-    d0 = jnp.zeros((npad,), dtype)
-    _, L, d = lax.fori_loop(0, nb, body, (W, L0, d0))
+    L = jnp.zeros((npad, npad), dtype)
+    d = jnp.zeros((npad,), dtype)
+    off = 0
+    Wt = W                                   # running trailing submatrix
+    for cs in sizes:
+        m = npad - off                       # static per segment
+        w = cs * block
+        rows = jnp.arange(m)
+
+        def body(k, carry, m=m, rows=rows):
+            Wt, Lt, dv = carry               # (m, m), (m, w), (w,)
+            j0 = k * block                   # panel offset within segment
+            Wkk = lax.dynamic_slice(Wt, (j0, j0), (block, block))
+            Lkk, dk = panel_factor(Wkk)
+            safe = jnp.where(jnp.abs(dk) > 0, dk, jnp.ones((), dtype))
+            P = lax.dynamic_slice(Wt, (0, j0), (m, block))   # column slab
+            # Y = P L11^{-T} for sub-panel rows; rows <= panel masked out
+            Y = solve_triangular(Lkk, P.T, lower=True,
+                                 unit_diagonal=True).T
+            below = (rows >= j0 + block)[:, None].astype(dtype)
+            Yb = Y * below
+            L21 = Yb / safe[None, :]
+            # write the (m, block) column slab of L: Lkk rows on the
+            # diagonal block, L21 below, zeros above
+            in_blk = ((rows >= j0)
+                      & (rows < j0 + block))[:, None].astype(dtype)
+            Lkk_full = jnp.zeros((m, block), dtype)
+            Lkk_full = lax.dynamic_update_slice(Lkk_full, Lkk, (j0, 0))
+            slab = Lkk_full * in_blk + L21
+            Lt = lax.dynamic_update_slice(Lt, slab, (0, j0))
+            dv = lax.dynamic_update_slice(dv, dk, (j0,))
+            # trailing update (implicitly restricted by the row mask)
+            Wt = Wt - L21 @ Yb.T
+            return Wt, Lt, dv
+
+        Lt0 = jnp.zeros((m, w), dtype)
+        dv0 = jnp.zeros((w,), dtype)
+        Wt, Lt, dv = lax.fori_loop(0, cs, body, (Wt, Lt0, dv0))
+        L = L.at[off:, off:off + w].set(Lt)
+        d = d.at[off:off + w].set(dv)
+        Wt = Wt[w:, w:]                      # static shrink for next segment
+        off += w
     return L[:n, :n], d[:n]
 
 
@@ -179,9 +200,8 @@ def ldlt_factor_blocks(A, block: int = 128):
     dtype = A.dtype
     Lp = jnp.zeros((npad, npad), dtype).at[:n, :n].set(L)
     Lp = Lp.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
-    diag_blocks = jnp.stack(
-        [lax.dynamic_slice(Lp, (k * block, k * block), (block, block))
-         for k in range(nb)])
+    idx = jnp.arange(nb)
+    diag_blocks = Lp.reshape(nb, block, nb, block)[idx, :, idx, :]
     eye = jnp.eye(block, dtype=dtype)
     invb = jax.vmap(lambda Lk: solve_triangular(
         Lk, eye, lower=True, unit_diagonal=True))(diag_blocks)
