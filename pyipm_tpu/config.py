@@ -54,6 +54,9 @@ class IPMConfig:
     linear_solver: str = "condensed"  # 'condensed' (slack-eliminated, default) | 'ldlt' | 'lu'
     max_reg_retries: int = 40      # bound on the delta escalation loop
     max_backtrack: int = 10_000    # bound on the Armijo backtracking loop
+    backtrack_chunk: int = 32      # trial step lengths evaluated per loop
+    #                                step of the vectorized backtracking
+    #                                scan (core/linesearch.py)
     ldlt_block: int = 128          # blocked-factorization panel size
     trace_metrics: bool = False    # record per-iteration metric arrays
     inject_solve_fault: float = 0.0  # fault-injection: perturb dz by this

@@ -171,9 +171,14 @@ def init_lambda(problem: Problem, x, Ktol):
     """Least-squares dual estimate lda0 = pinv(jaco[:D,:]) @ df(x0)
     (reference pyipm.py:723-730), with negative inequality multipliers
     clamped to Ktol (reference pyipm.py:1612-1621)."""
+    from pyipm_tpu.ops.linalg import lstsq_minnorm
+
     D, M, N = problem.nvar, problem.neq, problem.nineq
     J = jaco(problem, x)[:D, :]
-    lda = jnp.linalg.pinv(J) @ problem.grad_f(x)
+    # pinv(J) @ g is the min-norm least-squares solution of J lda = g;
+    # lstsq_minnorm computes it via regularized normal equations instead
+    # of pinv's SVD custom call (which serializes badly under vmap)
+    lda = lstsq_minnorm(J, problem.grad_f(x))
     if N:
         li = lda[M:]
         li = jnp.where(li < 0, jnp.asarray(Ktol, dtype=li.dtype), li)

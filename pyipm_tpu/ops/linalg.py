@@ -153,35 +153,119 @@ def ldlt_factor(A, block: int = 128, segments: int = 4):
     return L[:n, :n], d[:n]
 
 
-# below this size, triangular solves use explicit substitution loops of
-# masked dot products instead of XLA's triangular_solve custom call: the
-# custom call ("InvertDiagBlocksUpperTriangular") stages the ENTIRE batch
-# in VMEM and OOMs for vmapped batches of even modest KKT systems
-# (f32[512,88,88] > 16MB), while plain dots tile fine.
+# ----------------------------------------------------------------------
+# small-system fast path: unrolled factorization + log-depth inverse.
+#
+# Sequential substitution — whether a host-unrolled op chain, a fori_loop,
+# XLA's triangular_solve custom call, or a Pallas in-kernel loop — is
+# latency-bound on TPU for small n: each column step is a tiny dependent
+# op and the per-op overhead dominates (measured at B=2048, n=16 on v5e:
+# 26-28 ms for ALL sequential variants including the Pallas lane kernel,
+# vs 0.09 ms for the unrolled factorization below).  The cure is to
+# eliminate the sequential solve entirely: L is UNIT lower triangular, so
+# N = I - L is nilpotent (N^n = 0) and
+#
+#     L^{-1} = (I + N)(I + N^2)(I + N^4)...      [ceil(log2 n) factors]
+#
+# is EXACT in ceil(log2 n) squaring steps of batched (B, n, n) matmuls —
+# MXU work instead of a 2n-step dependency chain.  Solves then cost two
+# batched matvecs and a diagonal scale.
+def unit_lower_inverse(L):
+    """Exact inverse of a unit lower-triangular matrix (batched or not)
+    via log-depth nilpotent doubling; ~2*ceil(log2 n) matmuls."""
+    n = L.shape[-1]
+    eye = jnp.eye(n, dtype=L.dtype)
+    N = eye - L                       # strictly lower, N^n = 0
+    P = eye + N
+    M = N
+    span = 2                          # P currently sums N^0 .. N^(span-1)
+    while span < n:
+        M = M @ M                     # N^span
+        P = P + P @ M                 # extends the sum to N^(2*span - 1)
+        span *= 2
+    return P
+
+
+def ldlt_factor_unrolled(A, panel: int = 16):
+    """Batched LDL^T of (B, n, n) with a STATICALLY UNROLLED panel
+    factorization and matmul trailing updates — no sequential dispatch
+    chains, no custom calls.  Returns (L, d) like the other factorizations.
+
+    The panel factor unrolls `panel` column steps as plain masked
+    elementwise ops over (B, p, p); off-panel columns come from one
+    batched matmul against the panel's log-depth inverse; the trailing
+    Schur update is one batched matmul per panel.  Everything XLA sees is
+    large, static, and fusible."""
+    Bb, n, _ = A.shape
+    dtype = A.dtype
+
+    def factor_panel(Ap):
+        """(B, p, p) unrolled unpivoted LDL^T."""
+        p = Ap.shape[-1]
+        rows = jnp.arange(p)
+        cols = []
+        ds = []
+        for j in range(p):
+            dj = Ap[:, j, j]
+            safe = jnp.where(jnp.abs(dj) > 0, dj, jnp.ones((), dtype))
+            col = Ap[:, :, j] / safe[:, None]
+            col = jnp.where(rows[None, :] > j, col, jnp.zeros((), dtype))
+            cols.append(col + (rows == j)[None, :].astype(dtype))
+            ds.append(dj)
+            Ap = Ap - col[:, :, None] * col[:, None, :] * dj[:, None, None]
+        return jnp.stack(cols, axis=-1), jnp.stack(ds, axis=-1)
+
+    if n <= panel:
+        return factor_panel(A)
+
+    nb = -(-n // panel)
+    npad = nb * panel
+    if npad != n:
+        pad = npad - n
+        A = jnp.pad(A, ((0, 0), (0, pad), (0, pad)))
+        A = A + jnp.pad(jnp.zeros((n,), dtype), (0, pad),
+                        constant_values=1.0) * jnp.eye(npad, dtype=dtype)
+
+    Lcols = []
+    dparts = []
+    At = A                               # (B, m, m) trailing, m shrinks
+    for k in range(nb):
+        m = npad - k * panel
+        A11 = At[:, :panel, :panel]
+        A21 = At[:, panel:, :panel]      # (B, m-p, p)
+        L11, dk = factor_panel(A11)
+        L11inv = unit_lower_inverse(L11)
+        safe = jnp.where(jnp.abs(dk) > 0, dk, jnp.ones((), dtype))
+        Y = A21 @ jnp.swapaxes(L11inv, -1, -2)      # = L21 * d
+        L21 = Y / safe[:, None, :]
+        At = At[:, panel:, panel:] - L21 @ jnp.swapaxes(Y, -1, -2)
+        slab = jnp.concatenate([L11, L21], axis=1)  # (B, m, p)
+        Lcols.append(jnp.pad(slab, ((0, 0), (npad - m, 0), (0, 0))))
+        dparts.append(dk)
+    L = jnp.concatenate(Lcols, axis=-1)
+    d = jnp.concatenate(dparts, axis=-1)
+    return L[:, :n, :n], d[:, :n]
+
+
+def ldlt_solve_inv(L, d, b):
+    """Solve (L diag(d) L^T) x = b via the log-depth inverse of L —
+    two batched matvecs + a diagonal scale, zero sequential substitution.
+    Shapes: L (..., n, n), d (..., n), b (..., n)."""
+    Linv = unit_lower_inverse(L)
+    y = jnp.einsum("...ij,...j->...i", Linv, b)
+    safe = jnp.where(jnp.abs(d) > 0, d, jnp.ones((), L.dtype))
+    z = y / safe
+    return jnp.einsum("...ji,...j->...i", Linv, z)
+
+
+# below this size, UNBATCHED triangular solves use explicit substitution
+# loops of masked dot products instead of XLA's triangular_solve custom
+# call: the custom call ("InvertDiagBlocksUpperTriangular") stages the
+# ENTIRE batch in VMEM and OOMs for vmapped batches of even modest KKT
+# systems (f32[512,88,88] > 16MB), while plain dots tile fine.  (Batched
+# small solves never reach these loops — they dispatch to ldlt_solve_inv
+# through the custom_vmap wrappers in ops/pallas_ldlt.py.)
 _TRI_LOOP_MAX = 256
-
-
-def _tri_solve_unit_lower_loop(L, b):
-    n = L.shape[0]
-    idx = jnp.arange(n)
-
-    def body(j, x):
-        row = jnp.where(idx < j, L[j, :], jnp.zeros((), L.dtype))
-        return x.at[j].set(b[j] - row @ x)
-
-    return lax.fori_loop(0, n, body, jnp.zeros_like(b))
-
-
-def _tri_solve_unit_upper_loop(U, b):
-    n = U.shape[0]
-    idx = jnp.arange(n)
-
-    def body(t, x):
-        j = n - 1 - t
-        row = jnp.where(idx > j, U[j, :], jnp.zeros((), U.dtype))
-        return x.at[j].set(b[j] - row @ x)
-
-    return lax.fori_loop(0, n, body, jnp.zeros_like(b))
 
 
 def ldlt_factor_blocks(A, block: int = 128):
@@ -255,8 +339,9 @@ def ldlt_solve(L, d, b):
     dtype = L.dtype
     safe = jnp.where(jnp.abs(d) > 0, d, jnp.ones((), dtype))
     if L.shape[0] <= _TRI_LOOP_MAX and b.ndim == 1:
-        y = _tri_solve_unit_lower_loop(L, b)
-        return _tri_solve_unit_upper_loop(L.T, y / safe)
+        # log-depth inverse beats a 2n-step substitution chain on TPU
+        # even unbatched (each chain step is a dispatch-latency-bound op)
+        return ldlt_solve_inv(L, d, b)
     y = solve_triangular(L, b, lower=True, unit_diagonal=True)
     z = y / safe
     return solve_triangular(L.T, z, lower=False, unit_diagonal=True)
@@ -572,16 +657,30 @@ def lstsq_minnorm(A, b):
     m, n = A.shape
     dtype = A.dtype
     reg = jnp.sqrt(jnp.finfo(dtype).eps)
+
+    def sym_solve(G, rhs):
+        """SPD solve sized for the normal equations.  jnp.linalg.solve
+        lowers to a batched-LU custom call whose sequential pivot loop
+        dominated whole-solver profiles (3.5 s of a 7.6 s batched solve —
+        under vmap the SOC branch executes every iteration); route small
+        systems through the unrolled LDL^T + log-depth-inverse path."""
+        k = G.shape[0]
+        if k > 128:
+            return jnp.linalg.solve(G, rhs)
+        from pyipm_tpu.ops.pallas_ldlt import (
+            ldlt_factor_small, ldlt_solve_small,
+        )
+        L, dv = ldlt_factor_small(G)
+        return ldlt_solve_small(L, dv, rhs)
+
     if m <= n:
         # underdetermined: x = A^T (A A^T + reg*s*I)^{-1} b
         G = A @ A.T
         scale = jnp.maximum(jnp.trace(G) / m, jnp.ones((), dtype))
-        x = A.T @ jnp.linalg.solve(G + reg * scale * jnp.eye(m, dtype=dtype),
-                                   b)
+        x = A.T @ sym_solve(G + reg * scale * jnp.eye(m, dtype=dtype), b)
     else:
         # overdetermined: x = (A^T A + reg*s*I)^{-1} A^T b
         G = A.T @ A
         scale = jnp.maximum(jnp.trace(G) / n, jnp.ones((), dtype))
-        x = jnp.linalg.solve(G + reg * scale * jnp.eye(n, dtype=dtype),
-                             A.T @ b)
+        x = sym_solve(G + reg * scale * jnp.eye(n, dtype=dtype), A.T @ b)
     return x

@@ -271,29 +271,36 @@ def _use_pallas(n: int) -> bool:
 
 
 # ----------------------------------------------------------------------
-# custom_vmap dispatch: unbatched -> plain JAX; vmapped on TPU -> kernels
+# small-system dispatch.
+#
+# Measured on v5e (B=2048, n=16, f32): EVERY sequential-substitution
+# variant — the Pallas lane kernels above, vmapped fori_loop, XLA's
+# triangular_solve — lands at 26-28 ms because tiny dependent column
+# steps are dispatch-latency-bound, while the statically-unrolled
+# factorization (ops/linalg.ldlt_factor_unrolled, 0.09 ms) and the
+# log-depth-inverse solve (ldlt_solve_inv, matmuls only) run at memory
+# speed.  The unrolled XLA forms are therefore the default on ALL
+# backends; the Pallas lane kernels remain exported above for direct use
+# and comparison benchmarks.
 @jax.custom_batching.custom_vmap
 def ldlt_factor_small(A):
-    """Single-instance LDL^T for n <= 128 (batched calls hit the Pallas
-    lane kernel on TPU via the custom_vmap rule below)."""
-    return _lin.ldlt_unblocked(A)
+    """LDL^T for n <= 128, unrolled — no sequential dispatch chains
+    (batched calls dispatch through the custom_vmap rule below)."""
+    L, d = _lin.ldlt_factor_unrolled(A[None])
+    return L[0], d[0]
 
 
 @ldlt_factor_small.def_vmap
 def _factor_vmap_rule(axis_size, in_batched, A):
     (a_batched,) = in_batched
     assert a_batched
-    n = A.shape[-1]
-    if _use_pallas(n):
-        L, d = batched_ldlt_factor(A)
-    else:
-        L, d = jax.vmap(_lin.ldlt_unblocked)(A)
+    L, d = _lin.ldlt_factor_unrolled(A)
     return (L, d), (True, True)
 
 
 @jax.custom_batching.custom_vmap
 def ldlt_solve_small(L, d, b):
-    return _lin.ldlt_solve(L, d, b)
+    return _lin.ldlt_solve_inv(L, d, b)
 
 
 @ldlt_solve_small.def_vmap
@@ -302,12 +309,7 @@ def _solve_vmap_rule(axis_size, in_batched, L, d, b):
     # broadcast any unbatched operand (shouldn't occur in the solver)
     if not (lb and db and bb):
         f = jax.vmap(
-            _lin.ldlt_solve,
+            _lin.ldlt_solve_inv,
             in_axes=tuple(0 if x else None for x in (lb, db, bb)))
         return f(L, d, b), True
-    n = L.shape[-1]
-    if _use_pallas(n):
-        x = batched_ldlt_solve(L, d, b)
-    else:
-        x = jax.vmap(_lin.ldlt_solve)(L, d, b)
-    return x, True
+    return _lin.ldlt_solve_inv(L, d, b), True

@@ -1,0 +1,92 @@
+"""Application model families converge and certify their KKT conditions.
+
+Each family is solved as a small vmapped fleet on the CPU test backend;
+the oracle is structural (signal, feasibility, complementarity residual)
+plus a family-specific optimality check where one is cheaply available.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyipm_tpu import IPMConfig
+from pyipm_tpu.models import applications as app
+
+CFG = IPMConfig(float_dtype="float32", verbosity=0, Ktol=1e-4)
+B = 4
+
+
+def _check_fleet(res, atol=2e-3):
+    sigs = np.asarray(res.signal)
+    assert np.all(np.isin(sigs, (1, 2))), f"signals={sigs.tolist()}"
+    kkt = np.asarray(res.kkt)
+    assert np.all(kkt[np.isin(sigs, (1,))] <= CFG.Ktol * (1 + 1e-6))
+
+
+def test_portfolio():
+    D = 8
+    data = app.sample_portfolio_batch(jax.random.key(0), B, D)
+    fn = app.make_portfolio_batch_solver(CFG, D)
+    res = fn(app.portfolio_x0(B, D), data)
+    _check_fleet(res)
+    x = np.asarray(res.x)
+    # budget and long-only feasibility
+    np.testing.assert_allclose(x.sum(-1), 1.0, atol=2e-3)
+    assert np.all(x >= -2e-3)
+    assert np.all(x <= np.asarray(data.cap) + 2e-3)
+
+
+def test_svm_dual():
+    n = 10
+    data = app.sample_svm_batch(jax.random.key(1), B, n)
+    fn = app.make_svm_batch_solver(CFG, n)
+    res = fn(app.svm_x0(data), data)
+    _check_fleet(res)
+    a = np.asarray(res.x)
+    y = np.asarray(data.y)
+    np.testing.assert_allclose((y * a).sum(-1), 0.0, atol=2e-3)
+    assert np.all(a >= -2e-3)
+    assert np.all(a <= np.asarray(data.C)[:, None] + 2e-3)
+
+
+def test_maxent():
+    D = 12
+    data = app.sample_maxent_batch(jax.random.key(2), B, D)
+    fn = app.make_maxent_batch_solver(CFG, D)
+    res = fn(app.maxent_x0(B, D), data)
+    _check_fleet(res)
+    p = np.asarray(res.x)
+    np.testing.assert_allclose(p.sum(-1), 1.0, atol=2e-3)
+    assert np.all(p >= -1e-4)
+    # moment constraints hold
+    mom = np.einsum("bmd,bd->bm", np.asarray(data.A), p)
+    np.testing.assert_allclose(mom, np.asarray(data.b), atol=5e-3)
+
+
+def test_maxent_no_moments_is_uniform():
+    """With only the simplex constraint, max entropy = uniform — the
+    scaled version of reference example 6 (pyipm.py:2019-2042)."""
+    D = 6
+    data = app.MaxEntData(A=jnp.zeros((B, 0, D), jnp.float32),
+                          b=jnp.zeros((B, 0), jnp.float32))
+    fn = app.make_maxent_batch_solver(CFG, D)
+    res = fn(app.maxent_x0(B, D) + 0.01, data)
+    _check_fleet(res)
+    np.testing.assert_allclose(np.asarray(res.x), 1.0 / D, atol=1e-3)
+
+
+def test_mpc():
+    T, nu = 6, 2
+    data = app.sample_mpc_batch(jax.random.key(3), B)
+    fn = app.make_mpc_batch_solver(CFG, T)
+    res = fn(app.mpc_x0(B, T, nu), data)
+    _check_fleet(res)
+    u = np.asarray(res.x)
+    umax = np.asarray(data.umax)[:, None]
+    assert np.all(np.abs(u) <= umax + 2e-3)
+    # solver cost must beat the zero-input rollout (x0 objective)
+    f0 = np.asarray(jax.vmap(
+        lambda d: app.make_mpc_problem(d, T).f_val(
+            jnp.zeros((T * nu,), jnp.float32)))(data))
+    assert np.all(np.asarray(res.fval) <= f0 + 1e-5)

@@ -93,8 +93,11 @@ def test_ldlt_solve(rng):
     b = rng.standard_normal(n)
     L, d = ldlt_factor(jnp.asarray(A), block=16)
     x = ldlt_solve(L, d, jnp.asarray(b))
+    # the log-depth-inverse solve trades ~|L||L^-1| of residual for the
+    # removal of the sequential substitution chain; reg_solve_kkt's
+    # iterative refinement recovers the rest when it matters
     np.testing.assert_allclose(np.asarray(A) @ np.asarray(x), b,
-                               rtol=1e-8, atol=1e-8)
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_ldlt_unblocked_vs_blocked(rng):
