@@ -49,41 +49,28 @@ def main():
     res = jax.block_until_ready(solver(x0, data))
 
     # --- timing methodology -------------------------------------------
-    # On a tunneled/remote chip, per-dispatch sync latency is tens of ms
-    # and block_until_ready is not a reliable barrier, so wall-clocking
-    # individual dispatches measures the transport, not the solver.
-    # Ground truth: run the solve R times INSIDE one jit (lax.fori_loop,
-    # each rep consuming a different staged x0 so nothing folds), fetch
-    # one scalar, and difference rep(R) against rep(1) — the constant
-    # dispatch+fetch overhead cancels exactly.
-    reps = int(os.environ.get("BENCH_REPS", 8))
-    x0_stack = jnp.stack(
-        [x0 + jnp.float32(1e-3) * (r + 1) for r in range(reps)])
-
+    # Time separate dispatches of a scalar-returning jitted solve and
+    # take the median of reps.  The scalar fetch (4 bytes) is a real
+    # barrier on the tunneled chip; per-dispatch transport overhead is
+    # tens of ms against a multi-second solve, i.e. noise.  (Do NOT
+    # stage R solves inside one fori_loop program: a minutes-long
+    # uninterrupted device computation starves the remote worker's
+    # heartbeat and crashes it.)
+    reps = int(os.environ.get("BENCH_REPS", 3))
     unjit = make_qp_batch_solver(cfg, nvar=D, nlin=L, jit=False)
 
-    def make_rep(R):
-        @jax.jit
-        def rep(x0_stack, data):
-            def body(i, acc):
-                r = unjit(x0_stack[i], data)
-                return (acc + jnp.sum(r.x)
-                        + jnp.sum(r.iter_count).astype(jnp.float32))
-            return jax.lax.fori_loop(0, R, body, jnp.zeros((), jnp.float32))
-        return rep
+    @jax.jit
+    def digest(x0, data):
+        r = unjit(x0, data)
+        return jnp.sum(r.x) + jnp.sum(r.iter_count).astype(jnp.float32)
 
-    def timed(fn, *a, trials=3):
-        float(fn(*a))                      # warm/compile + sync
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            float(fn(*a))                  # scalar fetch = real barrier
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t_one = timed(make_rep(1), x0_stack, data)
-    t_all = timed(make_rep(reps), x0_stack, data)
-    elapsed = max((t_all - t_one) / (reps - 1), 1e-9)
+    float(digest(x0, data))                # warm/compile + sync
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(digest(x0, data))            # scalar fetch = real barrier
+        times.append(time.perf_counter() - t0)
+    elapsed = float(np.median(times))
 
     total_iters = int(np.sum(np.asarray(res.iter_count)))
     iters_per_sec = total_iters / elapsed
@@ -124,6 +111,7 @@ def main():
         "nvar": D,
         "nineq": 2 * D + L,
         "wall_s": round(elapsed, 3),
+        "rep_walls_s": [round(t, 3) for t in times],
         "total_inner_iters": total_iters,
         "ktol_hit_rate": round(hit_rate, 4),
         "backend": jax.default_backend(),
