@@ -44,7 +44,7 @@ class IPM:
                  rho=0.1, tau=0.995, eta=1.0E-4, beta=0.4, miter=20,
                  niter=10, Xtol=None, Ktol=1.0E-4, Ftol=None, lbfgs=False,
                  lbfgs_zeta=None, float_dtype=np.float64, verbosity=1,
-                 linear_solver="ldlt"):
+                 linear_solver=None):
         del x_dev, lambda_dev  # symbolic placeholders; meaningless in JAX
         self.x0 = None if x0 is None else np.asarray(x0)
         self.lda0 = None if lda0 is None else np.asarray(lda0)
@@ -60,13 +60,17 @@ class IPM:
         self.dci = dci
         self.d2ci = d2ci
 
+        # linear_solver=None defers to the IPMConfig default so the class
+        # facade, the functional API, and the CLI all take the same hot path.
+        solver_kw = ({} if linear_solver is None
+                     else {"linear_solver": linear_solver})
         self.config = IPMConfig(
             mu=mu, nu=nu, rho=rho, tau=tau, eta=eta, beta=beta,
             miter=int(miter), niter=int(niter), Xtol=Xtol, Ktol=Ktol,
             Ftol=Ftol, lbfgs=int(lbfgs) if lbfgs else 0,
             lbfgs_zeta=lbfgs_zeta,
             float_dtype=np.dtype(float_dtype).name, verbosity=verbosity,
-            linear_solver=linear_solver,
+            **solver_kw,
         )
         self.float_dtype = np.dtype(float_dtype).type
         self.verbosity = verbosity

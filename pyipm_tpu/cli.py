@@ -26,7 +26,9 @@ def main(argv=None):
     ap.add_argument("--verbosity", type=int, default=1)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--linear-solver",
-                    choices=["condensed", "ldlt", "lu"], default="ldlt")
+                    choices=["condensed", "ldlt", "lu"], default=None,
+                    help="KKT solve method (default: IPMConfig default, "
+                         "'condensed')")
     ap.add_argument("--profile", metavar="LOGDIR", default=None,
                     help="dump a TensorBoard/Perfetto trace of the solve "
                          "to LOGDIR (jax.profiler)")

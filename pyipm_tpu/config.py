@@ -40,7 +40,11 @@ class IPMConfig:
     beta: float = 0.4          # eq-block regularization power (pyipm.py:174-176)
     miter: int = 20            # inner iterations per outer (pyipm.py:177-179)
     niter: int = 10            # outer iterations (pyipm.py:180-182)
-    Xtol: Optional[float] = None   # step tolerance; default machine eps (pyipm.py:183-186)
+    Xtol: Optional[float] = None   # OBSOLETE, accepted for parity: the
+    #   reference uses Xtol only as the golden-section tolerance of its
+    #   fraction-to-the-boundary search (pyipm.py:183-186, 1429-1432);
+    #   this framework computes the FTB step in closed form (exactly), so
+    #   there is no approximation to tolerate.  Validated, never read.
     Ktol: float = 1.0e-4       # KKT tolerance (pyipm.py:187-189)
     Ftol: Optional[float] = None   # f-change tolerance, off by default (pyipm.py:190-194)
     lbfgs: int = 0             # L-BFGS memory; 0/False = exact Hessian (pyipm.py:195-199)

@@ -24,6 +24,7 @@ def _check_fleet(res, atol=2e-3):
     assert np.all(kkt[np.isin(sigs, (1,))] <= CFG.Ktol * (1 + 1e-6))
 
 
+@pytest.mark.slow
 def test_portfolio():
     D = 8
     data = app.sample_portfolio_batch(jax.random.key(0), B, D)
@@ -37,6 +38,7 @@ def test_portfolio():
     assert np.all(x <= np.asarray(data.cap) + 2e-3)
 
 
+@pytest.mark.slow
 def test_svm_dual():
     n = 10
     data = app.sample_svm_batch(jax.random.key(1), B, n)
@@ -50,6 +52,7 @@ def test_svm_dual():
     assert np.all(a <= np.asarray(data.C)[:, None] + 2e-3)
 
 
+@pytest.mark.slow
 def test_maxent():
     D = 12
     data = app.sample_maxent_batch(jax.random.key(2), B, D)
@@ -64,6 +67,7 @@ def test_maxent():
     np.testing.assert_allclose(mom, np.asarray(data.b), atol=5e-3)
 
 
+@pytest.mark.slow
 def test_maxent_no_moments_is_uniform():
     """With only the simplex constraint, max entropy = uniform — the
     scaled version of reference example 6 (pyipm.py:2019-2042)."""
@@ -76,6 +80,7 @@ def test_maxent_no_moments_is_uniform():
     np.testing.assert_allclose(np.asarray(res.x), 1.0 / D, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_mpc():
     T, nu = 6, 2
     data = app.sample_mpc_batch(jax.random.key(3), B)

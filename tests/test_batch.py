@@ -11,10 +11,12 @@ import numpy as np
 from pyipm_tpu import IPMConfig, solve, solve_batch
 from pyipm_tpu.models import REFERENCE_PROBLEMS
 from pyipm_tpu.parallel.batch import make_batch_solver
+import pytest
 
 CFG = IPMConfig(Ftol=1e-8, verbosity=0)
 
 
+@pytest.mark.slow
 def test_batch_matches_single_solves():
     spec = REFERENCE_PROBLEMS[7]
     prob = spec.make()
@@ -31,6 +33,7 @@ def test_batch_matches_single_solves():
         assert int(batched.iter_count[i]) == int(single.iter_count)
 
 
+@pytest.mark.slow
 def test_batch_mixed_convergence():
     """Instances converge independently; per-instance signals/iters differ."""
     spec = REFERENCE_PROBLEMS[5]
@@ -49,6 +52,7 @@ def test_batch_mixed_convergence():
             assert spec.distance_to_truth(res.x[i]) <= 1e-3
 
 
+@pytest.mark.slow
 def test_batch_sharded_over_mesh():
     """Shard the instance axis over all 8 virtual devices; results must
     match the unsharded batch exactly."""

@@ -6,8 +6,10 @@ from pyipm_tpu import IPMConfig
 from pyipm_tpu.core.solver import make_solver
 from pyipm_tpu.models import REFERENCE_PROBLEMS
 from pyipm_tpu.utils.checkpoint import restore_state, save_state
+import pytest
 
 
+@pytest.mark.slow
 def test_save_restore_roundtrip(tmp_path):
     spec = REFERENCE_PROBLEMS[7]
     prob = spec.make()
@@ -24,6 +26,7 @@ def test_save_restore_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(st.lda), np.asarray(st2.lda))
 
 
+@pytest.mark.slow
 def test_resume_from_checkpointed_state(tmp_path):
     """Truncated run -> checkpoint -> resume completes to the same answer
     as an uninterrupted run (the reference's only resume path is manual

@@ -72,6 +72,7 @@ def test_ldlt_reconstruction(n, rng):
     np.testing.assert_allclose(rec, A, rtol=1e-8, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_ldlt_inertia_matches_eigh(rng):
     """Sylvester's law: pivot signs == eigenvalue signs (the reference uses
     a full eigendecomposition for this, pyipm.py:1377-1381)."""
@@ -124,6 +125,7 @@ def test_ldlt_vmap(rng):
 
 # ----------------------------------------------------------------------
 # regularized KKT solve: both methods agree on a saddle system
+@pytest.mark.slow
 def test_reg_solve_methods_agree(rng):
     """ldlt and lu (eigh-inertia) paths must regularize to systems with the
     same inertia and produce descent-compatible directions."""
@@ -202,6 +204,7 @@ def test_grad_matches_fd(rng):
     np.testing.assert_allclose(gx, gx_ad, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_kkt_matrix_symmetric(rng):
     D, M, N = 4, 2, 2
     prob = make_problem(

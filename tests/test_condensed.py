@@ -23,6 +23,7 @@ def _direction_full(problem, cfg, x, s, lda, mu, delta):
         max_retries=cfg.max_reg_retries, method="ldlt")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("num", [1, 3, 5, 7, 10])
 def test_condensed_matches_full_direction(num, rng):
     spec = REFERENCE_PROBLEMS[num]

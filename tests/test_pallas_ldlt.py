@@ -101,6 +101,7 @@ def test_custom_vmap_dispatch_batched_cpu_fallback(rng):
     np.testing.assert_array_equal(np.asarray(d) < 0, np.asarray(dr) < 0)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("B,n", [(4, 16), (4, 24), (3, 48), (2, 130)])
 def test_unrolled_factor_blocked(rng, B, n):
     """Blocked unrolled factorization (panel inverse + matmul trailing

@@ -36,6 +36,7 @@ def test_separable_converges_and_satisfies_constraints():
     assert np.all(np.asarray(res.x) >= np.asarray(data.lb) - 1e-8)
 
 
+@pytest.mark.slow
 def test_separable_matches_global_kkt():
     """The distributed solution must satisfy the GLOBAL first-order
     conditions of the assembled problem (cross-check against a dense
@@ -60,6 +61,7 @@ def test_separable_matches_global_kkt():
     assert np.linalg.norm(r.ravel()) <= 2e-4
 
 
+@pytest.mark.slow
 def test_separable_invariant_to_mesh_size():
     """Same problem, 2-device vs 8-device mesh: identical solution (the
     Schur psum is the only cross-device coupling)."""
