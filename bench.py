@@ -1,8 +1,14 @@
 """Headline benchmark: IPM iterations/sec per chip on a 10k-instance
 vmapped batch of random inequality-constrained QP-objective NLPs
-(BASELINE.md, driver config 3).
+(BASELINE.md, driver config 3), solved with wave-compacted batching
+(parallel/batch.py) so converged instances retire early instead of paying
+the vmap lockstep straggler tax.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Extra keys include the BASELINE.md config-4 hot-path certification:
+``kkt_gflops`` / ``kkt_n`` — the n=4096+256-eq inertia-corrected KKT
+factor+solve throughput (benchmarks/bench_kkt.py methodology, inlined here
+so the driver records it every round).
 
 The reference publishes no numbers (BASELINE.md) and its Aesara stack is
 not installed here, so ``vs_baseline`` is the architectural ratio against a
@@ -11,7 +17,8 @@ dispatched from a Python loop (one host round-trip per solve — strictly
 FEWER host crossings than the reference's ~10 compiled-function calls per
 iteration, so the ratio understates the true speedup).
 
-Env knobs: BENCH_CPU=1 (force CPU), BENCH_BATCH, BENCH_NVAR, BENCH_BASELINE_N.
+Env knobs: BENCH_CPU=1 (force CPU), BENCH_BATCH, BENCH_NVAR,
+BENCH_BASELINE_N, BENCH_REPS, BENCH_SKIP_KKT=1, BENCH_KKT_N, BENCH_KKT_M.
 """
 
 import json
@@ -19,6 +26,62 @@ import os
 import time
 
 import numpy as np
+
+
+def bench_kkt_gflops(jax, jnp, n=4096, m=256, reps=8):
+    """BASELINE.md config 4: inertia-corrected KKT factor+solve GFLOP/s
+    at D=n variables, M=m equality constraints (K = n+m system)."""
+    from pyipm_tpu.config import IPMConfig
+    from pyipm_tpu.ops.linalg import reg_solve_kkt
+
+    D, M = n, m
+    K = D + M
+    cfg = IPMConfig(float_dtype="float32")
+
+    kg, kj, kr = jax.random.split(jax.random.key(0), 3)
+    G = jax.random.normal(kg, (D, D), jnp.float32) / jnp.sqrt(D)
+    W = G @ G.T + 0.5 * jnp.eye(D, dtype=jnp.float32)     # PD primal block
+    Je = jax.random.normal(kj, (D, M), jnp.float32) / jnp.sqrt(D)
+    H = jnp.zeros((K, K), jnp.float32)
+    H = H.at[:D, :D].set(W).at[:D, D:].set(Je).at[D:, :D].set(Je.T)
+    g = jax.random.normal(kr, (K,), jnp.float32)
+
+    def run(H, g):
+        with jax.default_matmul_precision("highest"):
+            return reg_solve_kkt(
+                H, g, jnp.zeros(()), jnp.asarray(0.1),
+                nvar=D, neq=M, nineq=0, eps=cfg.eps,
+                reg_coef=cfg.reg_coef, eta=cfg.eta, beta=cfg.beta,
+                delta0=cfg.delta0, max_retries=4, method="ldlt",
+                block=cfg.ldlt_block)
+
+    # R reps inside ONE jit (each consuming a perturbed H so nothing
+    # folds), scalar fetch as the barrier, rep(R)-rep(1) differencing so
+    # constant dispatch overhead cancels (see benchmarks/bench_kkt.py).
+    def make_rep(R):
+        @jax.jit
+        def rep(H, g):
+            def body(i, acc):
+                Hi = H + (1e-6 * acc + 1e-30) * jnp.eye(K, dtype=H.dtype)
+                dzi, _, _ = run(Hi, g)
+                return acc + jnp.sum(dzi) * 1e-20
+            return jax.lax.fori_loop(0, R, body, jnp.zeros((), H.dtype))
+        return rep
+
+    def timed(fn, *a, trials=3):
+        float(fn(*a))
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(fn(*a))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_one = timed(make_rep(1), H, g)
+    t_all = timed(make_rep(reps), H, g)
+    dt = max((t_all - t_one) / (reps - 1), 1e-9)
+    flops = K ** 3 / 3 * 2          # LDL^T multiply-adds
+    return round(flops / dt / 1e9, 1), K
 
 
 def main():
@@ -33,6 +96,7 @@ def main():
     from pyipm_tpu.models.random_nlp import (
         make_qp_batch_solver, make_qp_problem, sample_qp_batch, QPData,
     )
+    from pyipm_tpu.parallel.batch import make_wave_batch_solver
 
     B = int(os.environ.get("BENCH_BATCH", 10000))
     D = int(os.environ.get("BENCH_NVAR", 16))
@@ -43,32 +107,25 @@ def main():
     data = sample_qp_batch(key, B, D, nlin=L)
     x0 = jnp.zeros((B, D), jnp.float32)
 
-    solver = make_qp_batch_solver(cfg, nvar=D, nlin=L)
+    solver = make_wave_batch_solver(
+        config=cfg, family=lambda d: make_qp_problem(d, D, L),
+        first_wave=16, wave=32, min_pad=256)
 
-    # compile (excluded from timing); also the reported convergence stats
+    # warm every wave-bucket compilation once (excluded from timing); also
+    # the reported convergence stats
     res = jax.block_until_ready(solver(x0, data))
 
     # --- timing methodology -------------------------------------------
-    # Time separate dispatches of a scalar-returning jitted solve and
-    # take the median of reps.  The scalar fetch (4 bytes) is a real
-    # barrier on the tunneled chip; per-dispatch transport overhead is
-    # tens of ms against a multi-second solve, i.e. noise.  (Do NOT
-    # stage R solves inside one fori_loop program: a minutes-long
-    # uninterrupted device computation starves the remote worker's
-    # heartbeat and crashes it.)
+    # The wave solver is host-orchestrated (one small signal fetch per
+    # wave), so wall-clock around the call IS the honest number; take the
+    # median of reps.  (Do NOT stage R solves inside one fori_loop
+    # program: a minutes-long uninterrupted device computation starves the
+    # remote worker's heartbeat and crashes it.)
     reps = int(os.environ.get("BENCH_REPS", 3))
-    unjit = make_qp_batch_solver(cfg, nvar=D, nlin=L, jit=False)
-
-    @jax.jit
-    def digest(x0, data):
-        r = unjit(x0, data)
-        return jnp.sum(r.x) + jnp.sum(r.iter_count).astype(jnp.float32)
-
-    float(digest(x0, data))                # warm/compile + sync
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(digest(x0, data))            # scalar fetch = real barrier
+        jax.block_until_ready(solver(x0, data))
         times.append(time.perf_counter() - t0)
     elapsed = float(np.median(times))
 
@@ -102,6 +159,23 @@ def main():
     base_iters = sum(int(ri.iter_count) for ri in rs)
     base_iters_per_sec = max(base_iters, 1) / base_elapsed
 
+    # ----- lockstep comparison point (the round-1 architecture) -------
+    lockstep = make_qp_batch_solver(cfg, nvar=D, nlin=L)
+    jax.block_until_ready(lockstep(x0, data))      # compile
+    t0 = time.perf_counter()
+    lres = jax.block_until_ready(lockstep(x0, data))
+    lock_elapsed = time.perf_counter() - t0
+    lock_ips = int(np.sum(np.asarray(lres.iter_count))) / lock_elapsed
+
+    # ----- BASELINE.md config 4: KKT factor+solve hot path ------------
+    if os.environ.get("BENCH_SKIP_KKT"):
+        kkt_gflops, kkt_k = None, None
+    else:
+        kkt_gflops, kkt_k = bench_kkt_gflops(
+            jax, jnp,
+            n=int(os.environ.get("BENCH_KKT_N", 4096)),
+            m=int(os.environ.get("BENCH_KKT_M", 256)))
+
     out = {
         "metric": "ipm_iters_per_sec_per_chip",
         "value": round(iters_per_sec, 1),
@@ -117,6 +191,10 @@ def main():
         "backend": jax.default_backend(),
         "baseline": "host-loop single-instance solves (reference-style)",
         "baseline_iters_per_sec": round(base_iters_per_sec, 1),
+        "lockstep_iters_per_sec": round(lock_ips, 1),
+        "lockstep_wall_s": round(lock_elapsed, 3),
+        "kkt_gflops": kkt_gflops,
+        "kkt_n": kkt_k,
     }
     print(json.dumps(out))
 

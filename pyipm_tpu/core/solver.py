@@ -67,6 +67,9 @@ class SolverState(NamedTuple):
     outer: jnp.ndarray           # i32 outer iteration index
     inner: jnp.ndarray           # i32 inner iteration index (current outer)
     inner_done: jnp.ndarray      # bool: inner loop hit its muTol exit
+    in_inner: jnp.ndarray        # bool: mid-inner-loop (flat-loop phase
+    #                              marker; makes the state pause/resumable
+    #                              at any iteration boundary)
     f_past: jnp.ndarray          # last cost for Ftol test
     alpha: jnp.ndarray           # last accepted primal step length
     reg_retries: jnp.ndarray     # i32 cumulative inertia-correction retries
@@ -251,14 +254,76 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
         return st
 
     # ------------------------------------------------------------------
-    def inner_loop(st: SolverState) -> SolverState:
-        st = st._replace(inner=_i32(0), inner_done=jnp.zeros((), jnp.bool_))
+    # The reference nests two host-side loops (outer niter x inner miter,
+    # pyipm.py:1658, 1672).  Here they are FLATTENED into one while_loop
+    # whose body advances the solve by exactly one phase step — either the
+    # top-of-outer convergence check, or one inner iteration (with the
+    # outer epilogue fused into the step that finishes an inner loop).
+    # Every piece of loop position lives in the SolverState carry
+    # (outer/inner/inner_done/in_inner), so a solve can be PAUSED after any
+    # bounded number of iterations and RESUMED bit-exactly — the mechanism
+    # behind wave-compacted batching (parallel/batch.py), which retires
+    # converged instances instead of paying the vmap straggler tax.
+    def outer_start(st: SolverState) -> SolverState:
+        # top-of-outer convergence check (pyipm.py:1663-1667)
+        conv = _all_le(st.kkt, jnp.asarray(cfg.Ktol, dtype))
 
-        def cond_fn(st):
-            return ((st.inner < cfg.miter) & (st.signal == 0)
-                    & (~st.inner_done))
+        def on_conv(st):
+            return st._replace(signal=_i32(1), outer=st.outer + 1)
 
-        def body_fn(st):
+        def enter(st):
+            if cfg.verbosity > 0 and N:
+                jax.debug.print("OUTER ITERATION {}", st.outer + 1)
+            return st._replace(inner=_i32(0),
+                               inner_done=jnp.zeros((), jnp.bool_),
+                               in_inner=jnp.ones((), jnp.bool_))
+
+        return lax.cond(conv, on_conv, enter, st)
+
+    def outer_epilogue(st: SolverState) -> SolverState:
+        """Everything the reference does after the inner loop exits
+        (pyipm.py:1776-1814)."""
+        if cfg.Ftol is not None and N > 0:
+            # per-outer Ftol test with inequality constraints
+            # (pyipm.py:1776-1789)
+            def ftol_chk(st):
+                f_new = problem.f_val(st.x)
+                hit = jnp.abs(st.f_past - f_new) <= abs(cfg.Ftol)
+                return st._replace(
+                    signal=jnp.where(hit, _i32(2), st.signal),
+                    f_past=f_new)
+
+            st = lax.cond(st.signal != -2, ftol_chk, lambda s_: s_, st)
+
+        # max-iterations signal at the end of the last outer iteration
+        # (pyipm.py:1795-1802)
+        is_last = st.outer >= cfg.niter - 1
+        st = st._replace(signal=jnp.where((st.signal == 0) & is_last,
+                                          _i32(-1), st.signal))
+
+        if N:
+            # adaptive centrality-based barrier update (pyipm.py:1804-1814)
+            def mu_upd(st):
+                li = st.lda[M:]
+                sl = st.s @ li
+                xi = N * jnp.min(st.s * li) / (sl + eps)
+                mu_new = (0.1 * jnp.minimum(
+                    0.05 * (1.0 - xi) / (xi + eps), 2.0) ** 3 * sl / N)
+                # floored at cfg.mu_floor instead of 0 (see IPMConfig)
+                mu_new = jnp.maximum(mu_new,
+                                     jnp.asarray(cfg.mu_floor, dtype))
+                return st._replace(mu=mu_new)
+
+            st = lax.cond(st.signal == 0, mu_upd, lambda s_: s_, st)
+        return st._replace(outer=st.outer + 1,
+                           in_inner=jnp.zeros((), jnp.bool_))
+
+    def inner_phase(st: SolverState) -> SolverState:
+        # one step of the inner loop (cond at pyipm.py:1672 + body)
+        active = ((st.inner < cfg.miter) & (st.signal == 0)
+                  & (~st.inner_done))
+
+        def step(st):
             # muTol inner exit (pyipm.py:1676-1682)
             muTol = jnp.maximum(jnp.asarray(cfg.Ktol, dtype), st.mu)
             conv = _all_le(st.kkt, muTol)
@@ -274,63 +339,39 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
 
             return lax.cond(conv, on_conv, on_run, st)
 
-        return lax.while_loop(cond_fn, body_fn, st)
+        st = lax.cond(active, step, lambda s_: s_, st)
 
-    # ------------------------------------------------------------------
-    def outer_body(st: SolverState) -> SolverState:
-        conv = _all_le(st.kkt, jnp.asarray(cfg.Ktol, dtype))
+        # inner loop finished (by muTol exit, miter, or a signal) -> fuse
+        # the outer epilogue into this same step
+        done = (st.inner >= cfg.miter) | (st.signal != 0) | st.inner_done
+        return lax.cond(done, outer_epilogue, lambda s_: s_, st)
 
-        def on_conv(st):
-            # converged at the top of an outer iteration (pyipm.py:1663-1667)
-            return st._replace(signal=_i32(1))
-
-        def on_run(st):
-            if cfg.verbosity > 0 and N:
-                jax.debug.print("OUTER ITERATION {}", st.outer + 1)
-            st = inner_loop(st)
-
-            if cfg.Ftol is not None and N > 0:
-                # per-outer Ftol test with inequality constraints
-                # (pyipm.py:1776-1789)
-                def ftol_chk(st):
-                    f_new = problem.f_val(st.x)
-                    hit = jnp.abs(st.f_past - f_new) <= abs(cfg.Ftol)
-                    return st._replace(
-                        signal=jnp.where(hit, _i32(2), st.signal),
-                        f_past=f_new)
-
-                st = lax.cond(st.signal != -2, ftol_chk, lambda s_: s_, st)
-
-            # max-iterations signal at the end of the last outer iteration
-            # (pyipm.py:1795-1802)
-            is_last = st.outer >= cfg.niter - 1
-            st = st._replace(signal=jnp.where((st.signal == 0) & is_last,
-                                              _i32(-1), st.signal))
-
-            if N:
-                # adaptive centrality-based barrier update (pyipm.py:1804-1814)
-                def mu_upd(st):
-                    li = st.lda[M:]
-                    sl = st.s @ li
-                    xi = N * jnp.min(st.s * li) / (sl + eps)
-                    mu_new = (0.1 * jnp.minimum(
-                        0.05 * (1.0 - xi) / (xi + eps), 2.0) ** 3 * sl / N)
-                    # floored at cfg.mu_floor instead of 0 (see IPMConfig)
-                    mu_new = jnp.maximum(mu_new,
-                                         jnp.asarray(cfg.mu_floor, dtype))
-                    return st._replace(mu=mu_new)
-
-                st = lax.cond(st.signal == 0, mu_upd, lambda s_: s_, st)
-            return st
-
-        st = lax.cond(conv, on_conv, on_run, st)
-        return st._replace(outer=st.outer + 1)
+    def flat_body(st: SolverState) -> SolverState:
+        return lax.cond(st.in_inner, inner_phase, outer_start, st)
 
     def run(st: SolverState) -> SolverState:
         def cond_fn(st):
             return (st.outer < cfg.niter) & (st.signal == 0)
 
-        return lax.while_loop(cond_fn, outer_body, st)
+        return lax.while_loop(cond_fn, flat_body, st)
+
+    def run_budget(st: SolverState, max_new_iters) -> SolverState:
+        """Advance the solve by at most ``max_new_iters`` additional inner
+        iterations, then pause.  The returned state resumes exactly (call
+        again, or finish with ``run``); ``signal == 0`` means paused."""
+        limit = st.iter_count + jnp.asarray(max_new_iters, jnp.int32)
+
+        def cond_fn(c):
+            st, lim = c
+            return ((st.outer < cfg.niter) & (st.signal == 0)
+                    & (st.iter_count < lim))
+
+        def body_fn(c):
+            st, lim = c
+            return flat_body(st), lim
+
+        st, _ = lax.while_loop(cond_fn, body_fn, (st, limit))
+        return st
 
     # ------------------------------------------------------------------
     def init_state(x0, s0=None, lda0=None) -> SolverState:
@@ -368,6 +409,7 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
             delta=jnp.zeros((), dtype), kkt=kkt0,
             signal=_i32(0), iter_count=_i32(0), outer=_i32(0),
             inner=_i32(0), inner_done=jnp.zeros((), jnp.bool_),
+            in_inner=jnp.zeros((), jnp.bool_),
             f_past=f_past, alpha=jnp.zeros((), dtype),
             reg_retries=_i32(0),
             lbfgs=lbfgs_init(D, cfg.lbfgs_mem, cfg.zeta0, dtype),
@@ -383,10 +425,24 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
         )
 
     # ------------------------------------------------------------------
+    def _prec(fn):
+        # trace at the configured matmul precision: the TPU default runs
+        # f32 matmuls as bf16 MXU passes, which wrecks the factorization
+        # accuracy (see IPMConfig.matmul_precision).  Applied to every
+        # exposed phase function so budgeted/resumed runs are bit-identical
+        # to a straight-through solve.
+        @functools.wraps(fn)
+        def wrapped(*a, **kw):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                return fn(*a, **kw)
+        return wrapped
+
+    init_state_p = _prec(init_state)
+    run_p = _prec(run)
+    run_budget_p = _prec(run_budget)
+    finalize_p = _prec(finalize)
+
     def _full(x0, s0, lda0):
-        # trace the whole solve at the configured matmul precision: the
-        # TPU default runs f32 matmuls as bf16 MXU passes, which wrecks
-        # the factorization accuracy (see IPMConfig.matmul_precision)
         with jax.default_matmul_precision(cfg.matmul_precision):
             return finalize(run(init_state(x0, s0, lda0)))
 
@@ -403,16 +459,18 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
         def solve_fn(x0):
             return _full(x0, None, None)
 
-    solve_fn.init_state = init_state
-    solve_fn.run = run
-    solve_fn.finalize = finalize
+    solve_fn.init_state = init_state_p
+    solve_fn.run = run_p
+    solve_fn.run_budget = run_budget_p
+    solve_fn.finalize = finalize_p
     solve_fn.problem = problem
     solve_fn.config = cfg
     if jit:
         wrapped = jax.jit(solve_fn)
-        wrapped.init_state = init_state
-        wrapped.run = run
-        wrapped.finalize = finalize
+        wrapped.init_state = init_state_p
+        wrapped.run = run_p
+        wrapped.run_budget = run_budget_p
+        wrapped.finalize = finalize_p
         wrapped.problem = problem
         wrapped.config = cfg
         return wrapped
