@@ -107,9 +107,16 @@ def main():
     data = sample_qp_batch(key, B, D, nlin=L)
     x0 = jnp.zeros((B, D), jnp.float32)
 
+    # first_wave=32 keeps ~all instances' trajectories bit-identical to the
+    # lockstep solver through their whole solve (mean ~11 iterations), so
+    # the Ktol hit rate matches lockstep while stragglers still retire into
+    # compact waves (measured on-TPU: hit 0.9984 @ 44k iters/s vs
+    # fw=16: 0.9978 @ 71k; lockstep: 0.9981 @ 6.2k).
+    fw = int(os.environ.get("BENCH_FIRST_WAVE", 32))
+    wv = int(os.environ.get("BENCH_WAVE", 64))
     solver = make_wave_batch_solver(
         config=cfg, family=lambda d: make_qp_problem(d, D, L),
-        first_wave=16, wave=32, min_pad=256)
+        first_wave=fw, wave=wv, min_pad=256)
 
     # warm every wave-bucket compilation once (excluded from timing); also
     # the reported convergence stats

@@ -1,0 +1,83 @@
+"""Heterogeneous fleet solving (parallel/fleet.py) — the EP analog.
+
+Contract (SURVEY.md §2 EP row, VERDICT item 3): ``solve_fleet`` over mixed
+shapes/families must match per-instance single solves, while fusing
+same-structure instances into batched buckets.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyipm_tpu import IPMConfig
+from pyipm_tpu.core.solver import make_solver
+from pyipm_tpu.models.random_nlp import make_qp_problem, sample_qp_batch
+from pyipm_tpu.models.reference_problems import get_problem
+from pyipm_tpu.parallel.fleet import _LiftedInstance, solve_fleet
+
+
+def _qp_instances(key, n, D, L):
+    data = sample_qp_batch(key, n, D, nlin=L, dtype=jnp.float64)
+    return [make_qp_problem(jax.tree.map(lambda a: a[i], data), D, L)
+            for i in range(n)]
+
+
+def test_fleet_mixed_shapes_matches_single_solves():
+    """≥3 distinct (D, M, N) shapes in one fleet; every instance must match
+    its own single solve exactly (same bucketing => identical programs for
+    singletons; batched buckets match to f64 roundoff)."""
+    cfg = IPMConfig(Ftol=1e-8, verbosity=0)
+    rng = np.random.default_rng(42)
+
+    problems, x0s = [], []
+    # family A: D=4 QPs (batchable bucket)
+    for p in _qp_instances(jax.random.key(0), 5, 4, 2):
+        problems.append(p)
+        x0s.append(np.zeros(4))
+    # family B: D=8 QPs with more constraints (second bucket)
+    for p in _qp_instances(jax.random.key(1), 3, 8, 3):
+        problems.append(p)
+        x0s.append(np.zeros(8))
+    # reference problems 7 (D=3, mixed) and 1 (D=2, unconstrained):
+    # distinct singleton buckets
+    for num in (7, 1):
+        spec = get_problem(num)
+        problems.append(spec.make(dtype=np.float64))
+        x0s.append(spec.sample_x0(rng))
+
+    results = solve_fleet(problems, x0s, cfg, first_wave=4, wave=8)
+    assert len(results) == len(problems)
+
+    for prob, x0, res in zip(problems, x0s, results):
+        single = make_solver(prob, cfg)(jnp.asarray(x0))
+        assert int(res.signal) == int(single.signal)
+        assert int(res.iter_count) == int(single.iter_count)
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(single.x),
+                                   rtol=1e-9, atol=1e-9)
+
+
+def test_fleet_bucketing_groups_same_structure():
+    """Same-family same-shape instances share one bucket key; different
+    shapes or constants-baked-as-literals split."""
+    cfg = IPMConfig(verbosity=0)
+    a = _qp_instances(jax.random.key(2), 2, 4, 2)
+    b = _qp_instances(jax.random.key(3), 2, 6, 2)
+    dt = np.dtype(np.float64)
+    ka0 = _LiftedInstance(a[0], dt).key
+    ka1 = _LiftedInstance(a[1], dt).key
+    kb0 = _LiftedInstance(b[0], dt).key
+    assert ka0 == ka1
+    assert ka0 != kb0
+
+
+def test_fleet_single_instance():
+    """A fleet of one behaves like solve()."""
+    spec = get_problem(5)
+    prob = spec.make(dtype=np.float64)
+    cfg = IPMConfig(verbosity=0)
+    rng = np.random.default_rng(0)
+    x0 = spec.sample_x0(rng)
+    (res,) = solve_fleet([prob], [x0], cfg)
+    single = make_solver(prob, cfg)(jnp.asarray(x0))
+    assert int(res.signal) == int(single.signal)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(single.x))
