@@ -23,6 +23,7 @@ Public API:
   - `IPMConfig` — all solver hyperparameters (reference pyipm.py:311-376).
   - `solve` — functional single-instance solve.
   - `solve_batch` — vmapped scenario batching.
+  - `solve_fleet` — heterogeneous-shape fleet solving (bucketed dispatch).
 """
 
 from pyipm_tpu.config import IPMConfig
@@ -30,6 +31,7 @@ from pyipm_tpu.core.problem import Problem, make_problem
 from pyipm_tpu.core.solver import SolverState, SolverResult, make_solver, solve
 from pyipm_tpu.api import IPM
 from pyipm_tpu.parallel.batch import solve_batch
+from pyipm_tpu.parallel.fleet import solve_fleet
 
 __version__ = "0.1.0"
 
@@ -43,4 +45,5 @@ __all__ = [
     "make_solver",
     "solve",
     "solve_batch",
+    "solve_fleet",
 ]

@@ -34,8 +34,141 @@ class IPM:
 
         min f(x)  subject to  ce(x) = 0,  ci(x) >= 0
 
-    See the reference docstring (pyipm.py:24-309) for the full parameter
-    contract; every hyperparameter keeps its reference default.
+    where ``x`` is a length-D vector of optimization variables, ``ce`` maps
+    x to M equality-constraint residuals and ``ci`` to N inequality-
+    constraint values.  The algorithm follows Nocedal & Wright ch. 19:
+    inequality constraints are converted to equalities with slack variables
+    ``s`` (ci(x) - s = 0, s >= 0) and a log-barrier on s with weight ``mu``;
+    each barrier subproblem is solved by Newton steps on the primal-dual
+    KKT system with inertia correction, an l1-penalty merit function with
+    Armijo backtracking plus second-order correction, and fraction-to-the-
+    boundary steps; ``mu`` is decreased adaptively from the centrality of
+    the iterates.  This keeps full behavioral parity with the reference
+    implementation (reference pyipm.py:23-1863) while executing the entire
+    solve as one compiled device program.
+
+    Constructor parameters
+    ----------------------
+    All parameters are optional at construction; ``x0`` and ``f`` must be
+    set (here or via :meth:`solve`) before solving.
+
+    Problem definition:
+      x0 : (D,) array — initial guess.  Also fixes D = number of variables.
+      f : callable ``f(x) -> scalar`` — objective, a pure JAX function.
+      ce : callable ``ce(x) -> (M,)`` or None — equality constraints,
+          feasible iff ce(x) = 0.
+      ci : callable ``ci(x) -> (N,)`` or None — inequality constraints,
+          feasible iff ci(x) >= 0.
+      x_dev, lambda_dev : accepted and IGNORED.  They are the reference's
+          Aesara symbolic placeholders; JAX callables need no symbolic
+          binding.  Pre-jitted callables are accepted anywhere a callable
+          is (the analog of the reference's "precompiled function" inputs).
+
+    Optional user-supplied derivatives (derived by autodiff when omitted;
+    shape conventions match the reference, including the TRANSPOSED
+    Jacobians — reference pyipm.py:223-225 note 2):
+      df : ``df(x) -> (D,)`` — gradient of f.
+      d2f : ``d2f(x) -> (D, D)`` — Hessian of f (exact-Hessian mode only).
+      dce : ``dce(x) -> (D, M)`` — TRANSPOSED Jacobian of ce.
+      d2ce : ``d2ce(x, lda) -> (D, D)`` — multiplier-contracted Hessian
+          ``hessian_x(sum_j ce_j(x) * lda[j])`` where ``lda`` is the full
+          (M+N,) multiplier vector.
+      dci : ``dci(x) -> (D, N)`` — TRANSPOSED Jacobian of ci.
+      d2ci : ``d2ci(x, lda) -> (D, D)`` — multiplier-contracted Hessian of
+          ci against ``lda[M:]``.
+      Supplying dce/d2ce without ce (or dci/d2ci without ci) is invalid.
+
+    Warm starts:
+      s0 : (N,) array or None — initial slacks; default max(ci(x0), Ktol).
+      lda0 : (M+N,) array or None — initial multipliers; default is the
+          least-squares estimate pinv(jaco)' df(x0) with negative
+          inequality multipliers clamped to Ktol.
+
+    Hyperparameters (defaults identical to the reference,
+    pyipm.py:311-314):
+      mu : float > 0, default 0.2 — initial barrier parameter.
+      nu : float > 0, default 10.0 — initial merit penalty weight; raised
+          automatically so the search direction stays a descent direction
+          of the merit function.
+      rho : 0 < float < 1, default 0.1 — margin in the nu update
+          (larger rho -> larger nu).
+      tau : 0 < float < 1, default 0.995 — fraction-to-the-boundary
+          coefficient AND backtracking shrink factor per trial.
+      eta : 0 < float < 1, default 1e-4 — Armijo sufficient-decrease
+          coefficient.
+      beta : float < 1, default 0.4 — exponent of the mu-dependent
+          equality-block regularization used when the KKT matrix is
+          singular/ill-conditioned.
+      miter : int >= 0, default 20 — max inner iterations per barrier
+          subproblem.
+      niter : int >= 0, default 10 — max outer (barrier-update)
+          iterations; the iteration budget is at most niter*miter.
+      Ktol : float >= machine eps, default 1e-4 — convergence tolerance
+          applied to all four KKT residual norms.
+      Xtol : OBSOLETE, accepted for compatibility.  The reference uses it
+          only as the tolerance of its golden-section fraction-to-the-
+          boundary search (pyipm.py:1429-1432); this framework computes
+          that step in closed form (exactly), so there is nothing to
+          tolerate.  Validated (must be >= machine eps) and never read.
+      Ftol : float or None, default None — optional secondary convergence
+          test on the change of f between iterations (per inner iteration
+          when N == 0, per outer iteration otherwise).
+      lbfgs : False/0 or int > 0, default False — 0 uses the exact
+          (inertia-corrected) Hessian; an integer m approximates the
+          Hessian with compact-representation L-BFGS memory m (use for
+          large D where the (D+2N+M)^2 KKT matrix is prohibitive).
+      lbfgs_zeta : float > 0 or None — initial Hessian scaling zeta*I for
+          L-BFGS mode; default 1.0, replaced by an adaptive value after
+          the first update.
+      float_dtype : numpy dtype, default np.float64 — working precision.
+          float32 is fully supported (the f32 robustness stack: Ruiz
+          scaling, mu floor, roundoff-aware Armijo); float64 is the
+          parity-exact mode.
+      verbosity : int in [-1, 3], default 1 —
+          -1: silent; 0: final report only; 1: + iteration counter and
+          mode banner; 2: + f(x) per iteration; 3: + the four KKT norms,
+          line-search/SOC/L-BFGS-reset notices.
+      linear_solver : 'condensed' | 'ldlt' | 'lu' | None — KKT solve
+          method; None defers to the IPMConfig default ('condensed') so
+          the class facade, the functional API, and the CLI share one hot
+          path.  'lu' reproduces the reference's eigendecomposition-based
+          inertia flow; 'ldlt' factors the full KKT matrix reading inertia
+          off the pivots; 'condensed' solves the slack-eliminated (D+M)^2
+          system (identical Newton step, fastest).
+
+    solve(x0=None, s0=None, lda0=None, force_recompile=False)
+    ---------------------------------------------------------
+    Runs the solver and returns the 5-tuple ``(x, s, lda, fval, kkt)``:
+      x : (D,) solution; s : (N,) slacks (empty if N == 0);
+      lda : (M+N,) multipliers (equality first; empty if M+N == 0);
+      fval : float f(x); kkt : the 4-element KKT block list (below).
+    Arguments override the stored x0/s0/lda0 (warm starting).  Passing a
+    new x0 of different size re-infers the problem shapes; compilation is
+    otherwise cached (force_recompile rebuilds it).  After solve(), the
+    fields ``self.x/s/lda/fval/kkt/signal`` hold the results; unlike the
+    reference, mu/nu are reinitialized on every solve (the reference warns
+    users to reset its device state by hand, pyipm.py:273-275).
+
+    ``self.signal`` reports termination: 1 Ktol converged, 2 Ftol
+    converged, -1 maximum iterations, -2 search direction unreliable to
+    machine precision.
+
+    KKT(x, s, lda, mu=None)
+    -----------------------
+    Returns ``[kkt1, kkt2, kkt3, kkt4]``: the Lagrangian gradient (D,),
+    the s-scaled complementarity s*(lda_i - mu/s) (N,), the equality
+    residual ce (M,), and the inequality residual ci - s (N,).  Blocks
+    absent from the problem are scalar 0, matching the reference
+    (pyipm.py:958-991).
+
+    Notes
+    -----
+    - Everything user-supplied must be a pure JAX-traceable function;
+      side effects and data-dependent Python control flow are not
+      supported (use ``jax.numpy`` / ``lax`` primitives).
+    - For fleets of problems use :func:`pyipm_tpu.solve_batch` (one
+      problem, many starts / per-instance data) or
+      :func:`pyipm_tpu.parallel.fleet.solve_fleet` (mixed shapes).
     """
 
     def __init__(self, x0=None, x_dev=None, f=None, df=None, d2f=None,

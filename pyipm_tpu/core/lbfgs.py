@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -59,9 +60,11 @@ def lbfgs_init(nvar: int, mem: int, zeta0: float, dtype) -> LBFGSState:
 
 
 def lbfgs_update(state: LBFGSState, dx, dg, *, constrained: bool,
-                 eps: float, zeta0: float, fail_max: int) -> LBFGSState:
+                 eps: float, zeta0: float, fail_max: int,
+                 verbose: bool = False) -> LBFGSState:
     """Memory update with curvature guard and failure reset
-    (reference lbfgs_update, pyipm.py:1282-1371)."""
+    (reference lbfgs_update, pyipm.py:1282-1371).  ``verbose`` emits the
+    reset notice (reference verbosity > 2, pyipm.py:1366-1367)."""
     dtype = dx.dtype
     eps_ = jnp.asarray(eps, dtype)
     sqrt_eps = jnp.sqrt(eps_)
@@ -100,6 +103,9 @@ def lbfgs_update(state: LBFGSState, dx, dg, *, constrained: bool,
 
     # full reset after too many consecutive failures (pyipm.py:1363-1368)
     def reset(st: LBFGSState) -> LBFGSState:
+        if verbose:
+            jax.debug.print(
+                "Max failures reached, resetting storage arrays.")
         return lbfgs_init(st.S.shape[0], m, zeta0, dtype)
 
     do_reset = (state.fail > fail_max) & (state.count > 0)

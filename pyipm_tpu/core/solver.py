@@ -169,7 +169,8 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
             dg = g_old[:D] - g_new[:D]
             mem = lbfgs_update(
                 st.lbfgs, dx, dg, constrained=ncon > 0, eps=eps,
-                zeta0=cfg.zeta0, fail_max=cfg.lbfgs_fail_max)
+                zeta0=cfg.zeta0, fail_max=cfg.lbfgs_fail_max,
+                verbose=cfg.verbosity > 2)
             return st._replace(lbfgs=mem, x_old=st.x, g=g_new)
 
         st = lax.cond(not_first, upd, lambda s_: s_, st)
@@ -227,6 +228,17 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
 
         res = search(problem, cfg, st.x, st.s, st.lda, dz, a_s, a_l,
                      st.mu, st.nu, st.signal)
+        if cfg.verbosity > 2:
+            # line-search notices (reference pyipm.py:1485-1487, 1496-1500)
+            lax.cond(res.soc,
+                     lambda: jax.debug.print(
+                         "Second-order feasibility correction accepted"),
+                     lambda: None)
+            lax.cond(res.signal == -2,
+                     lambda: jax.debug.print(
+                         "Search direction is unreliable to machine "
+                         "precision."),
+                     lambda: None)
         st = st._replace(x=res.x, s=res.s, lda=res.lda, signal=res.signal,
                          alpha=res.alpha, iter_count=st.iter_count + 1)
         st = st._replace(kkt=K.kkt_norms(problem, st.x, st.s, st.lda, st.mu))
@@ -376,6 +388,12 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
     # ------------------------------------------------------------------
     def init_state(x0, s0=None, lda0=None) -> SolverState:
         """Initialization (reference pyipm.py:1596-1651)."""
+        if cfg.verbosity > 0:
+            # mode banner (reference pyipm.py:1642-1648)
+            jax.debug.print(
+                "Searching for a feasible local minimizer using "
+                + ("L-BFGS to approximate the Hessian."
+                   if cfg.lbfgs else "the exact Hessian."))
         x = jnp.asarray(x0, dtype).reshape((D,))
         if N:
             s = (K.init_slack(problem, x, cfg.Ktol) if s0 is None

@@ -62,3 +62,36 @@ def test_fault_injection_large_fault_flagged():
     res = solve(prob, spec.sample_x0(rng), cfg)
     assert int(res.signal) in (1, 2, -1, -2)
     assert np.all(np.isfinite(np.asarray(res.x)))
+
+
+def test_verbosity_notices(capfd):
+    """Verbosity contract: the mode banner (verbosity>0, reference
+    pyipm.py:1642-1648) and the unreliable-direction notice (verbosity>2,
+    pyipm.py:1496-1500) are emitted at the reference's levels."""
+    import jax
+
+    spec = REFERENCE_PROBLEMS[7]
+    prob = spec.make()
+    rng = np.random.default_rng(42)
+    x0 = spec.sample_x0(rng)
+
+    solve(prob, x0, IPMConfig(verbosity=1))
+    jax.effects_barrier()
+    out = capfd.readouterr().out
+    assert "Searching for a feasible local minimizer using the exact " \
+           "Hessian." in out
+
+    solve(prob, x0, IPMConfig(verbosity=1, lbfgs=4))
+    jax.effects_barrier()
+    out = capfd.readouterr().out
+    assert ("Searching for a feasible local minimizer using L-BFGS to "
+            "approximate the Hessian.") in out
+
+    # catastrophic fault -> signal -2 path -> notice at verbosity 3
+    spec5 = REFERENCE_PROBLEMS[5]
+    res = solve(spec5.make(), spec5.sample_x0(rng),
+                IPMConfig(verbosity=3, inject_solve_fault=1e3))
+    jax.effects_barrier()
+    out = capfd.readouterr().out
+    if int(res.signal) == -2:
+        assert "Search direction is unreliable to machine precision." in out
