@@ -30,8 +30,12 @@ def initialize(coordinator_address: Optional[str] = None,
 
     On Cloud TPU pods all arguments are discovered from the environment;
     pass them explicitly for CPU/GPU clusters
-    (``jax.distributed.initialize`` contract)."""
-    if jax.process_count() > 1:
+    (``jax.distributed.initialize`` contract).
+
+    Must run before anything touches the XLA backend (jax.devices,
+    any computation); checked via ``jax.distributed.is_initialized`` —
+    NOT ``jax.process_count()``, which would itself boot the backend."""
+    if jax.distributed.is_initialized():
         return  # already initialized
     if coordinator_address is None and num_processes is None:
         try:
