@@ -30,19 +30,142 @@ from pyipm_tpu.core.problem import Problem
 from pyipm_tpu.ops.linalg import lstsq_minnorm
 
 
-def max_step_ftb(z, dz, tau):
+def max_step_ftb(z, dz, tau, axis=None):
     """Largest alpha in [0,1] with z + alpha*dz >= (1-tau)*z.
 
     Closed form of the reference's golden-section search
     (pyipm.py:1408-1436): alpha*dz_i >= -tau*z_i, binding only where
-    dz_i < 0."""
-    if z.shape[0] == 0:
+    dz_i < 0.  With ``axis`` (a mesh axis name) the minimum is reduced
+    across devices with ``pmin`` — the sharded (Schur) path's global
+    fraction-to-the-boundary."""
+    if z.size == 0:
         return jnp.ones((), dtype=z.dtype)
     tau_ = jnp.asarray(tau, z.dtype)
     neg = dz < 0
     denom = jnp.where(neg, -dz, jnp.ones((), z.dtype))
     ratio = jnp.where(neg, tau_ * z / denom, jnp.inf)
-    return jnp.minimum(jnp.ones((), z.dtype), jnp.min(ratio))
+    a = jnp.minimum(jnp.ones((), z.dtype), jnp.min(ratio))
+    if axis is not None:
+        a = lax.pmin(a, axis_name=axis)
+    return a
+
+
+def backtrack_armijo(phi_at, armijo_rhs, base, a_s_in, a_l_in, *,
+                     tau, eps, chunk, max_backtrack):
+    """Chunk-vectorized Armijo backtracking on the geometric trial schedule
+    a_k = a_in * tau^(k+1) (reference pyipm.py:1490-1505).
+
+    The ONE line-search kernel of the framework: the single-device solver
+    core and the sharded Schur path both compose it with their own merit
+    evaluations (``phi_at(a_s)`` may psum internally — collectives batch
+    fine under the chunk vmap).
+
+    The reference walks the trial sequence one merit test per host
+    iteration; with tau = 0.995 that is hundreds-to-thousands of
+    SEQUENTIAL evaluations, and under vmap every instance pays the batch
+    maximum.  The schedule is closed-form, so each loop step evaluates a
+    CHUNK of trial step lengths at once (one vmapped merit evaluation —
+    elementwise + matmul work the TPU eats for free) and takes the first
+    index where the sequential walk would have stopped.  The accepted
+    alpha is bit-identical to the one-at-a-time loop.
+
+    Sequential semantics reproduced, per trial k:
+      - Armijo pass at a_k  -> accept a_k;
+      - Armijo fail and shrink_k * base < eps -> abort (the reference's
+        ||step|| < eps unreliable-direction exit, pyipm.py:1496);
+      - else continue to k+1.
+
+    Args:
+      phi_at: merit evaluation at primal step length a_s.
+      armijo_rhs: the acceptance threshold phi0 + a*eta*dphi0 (+slack).
+      base: reference step norm at the input step lengths.
+      a_s_in / a_l_in: entry step lengths for slacks/multipliers.
+
+    Returns (a_s, a_l, aborted)."""
+    dtype = jnp.asarray(a_s_in).dtype
+    tau = jnp.asarray(tau, dtype)
+    eps = jnp.asarray(eps, dtype)
+    W = int(chunk)
+    ks0 = jnp.arange(W, dtype=jnp.int32)
+
+    def scan_chunk(c):
+        ks = c * W + ks0
+        shrink = jnp.power(tau, (ks + 1).astype(dtype))
+        a_s_k = a_s_in * shrink
+        a_l_k = a_l_in * shrink
+        passes = jax.vmap(phi_at)(a_s_k) <= jax.vmap(armijo_rhs)(a_s_k)
+        abort_k = shrink * base < eps       # step unreliable at trial k
+        events = passes | abort_k
+        idx = jnp.argmax(events)            # first event in the chunk
+        found = jnp.any(events)
+        return found, passes[idx], a_s_k[idx], a_l_k[idx]
+
+    def cond_fn(c):
+        i, found, _, _, _ = c
+        return (~found) & (i * W < max_backtrack)
+
+    def body_fn(c):
+        i, _, _, _, _ = c
+        found, passed, a_s, a_l = scan_chunk(i)
+        return i + 1, found, passed, a_s, a_l
+
+    _, found, passed, a_s, a_l = lax.while_loop(
+        cond_fn, body_fn,
+        (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
+         jnp.zeros((), jnp.bool_), a_s_in * tau, a_l_in * tau))
+    aborted = found & (~passed)
+    return a_s, a_l, aborted
+
+
+def merit_line_search(phi_at, armijo_rhs, base, a_s_max, a_l_max,
+                      try_soc, payload_zero, apply, abort, *,
+                      tau, eps, chunk, max_backtrack):
+    """The accept / second-order-correct / backtrack / abort policy of the
+    merit line search (reference IPM.search, pyipm.py:1438-1565), generic
+    over the state representation.  The single-device solver core and the
+    sharded Schur path both instantiate THIS engine — one line-search
+    implementation framework-wide.
+
+    Args:
+      phi_at(a_s): merit value at primal step length a_s (may psum).
+      armijo_rhs(a): acceptance threshold phi0 + a*eta*dphi0 (+slack).
+      base: step norm at the entry step lengths (abort test reference).
+      a_s_max / a_l_max: fraction-to-the-boundary step lengths.
+      try_soc(a_s) -> (accepted, payload): evaluate the second-order
+        correction at step a_s; must return (False, payload_zero-like)
+        when not applicable (e.g. infeasibility did not increase).
+      payload_zero: SOC payload prototype for the non-SOC branches.
+      apply(a_s, a_l, soc, payload) -> out: build the accepted state.
+      abort() -> out: the unreliable-direction (-2) outcome.
+
+    Control flow (reference pyipm.py:1462-1551): Armijo at the full step;
+    on failure attempt the SOC; otherwise backtrack on the geometric
+    schedule via :func:`backtrack_armijo`; abort when the trial step
+    shrinks below machine precision."""
+    pass0 = phi_at(a_s_max) <= armijo_rhs(a_s_max)
+    false_ = jnp.zeros((), jnp.bool_)
+
+    def accept_full(_):
+        return apply(a_s_max, a_l_max, false_, payload_zero)
+
+    def on_fail(_):
+        accepted, payload = try_soc(a_s_max)
+
+        def corrected(_):
+            return apply(a_s_max, a_l_max, jnp.ones((), jnp.bool_), payload)
+
+        def backtracked(_):
+            a_s, a_l, aborted = backtrack_armijo(
+                phi_at, armijo_rhs, base, a_s_max, a_l_max,
+                tau=tau, eps=eps, chunk=chunk, max_backtrack=max_backtrack)
+            return lax.cond(aborted,
+                            lambda _: abort(),
+                            lambda _: apply(a_s, a_l, false_, payload_zero),
+                            None)
+
+        return lax.cond(accepted, corrected, backtracked, None)
+
+    return lax.cond(pass0, accept_full, on_fail, None)
 
 
 class SearchResult(NamedTuple):
@@ -89,65 +212,6 @@ def search(problem: Problem, cfg, x0, s0, lda0, dz, alpha_smax, alpha_lmax,
     def phi_at(a_s):
         return K.phi(problem, x0 + a_s * dx, s0 + a_s * ds, mu, nu)
 
-    def backtrack(a_s_in, a_l_in):
-        """Shrink both step lengths by tau until Armijo passes or the step
-        is unreliable to machine precision (pyipm.py:1490-1505).
-
-        The reference walks the geometric trial sequence
-        a_k = a_in * tau^(k+1) one test per host iteration; with the
-        default tau = 0.995 that is hundreds-to-thousands of SEQUENTIAL
-        merit evaluations, and under vmap every instance pays the batch
-        maximum.  The schedule is closed-form, so the scan is vectorized:
-        each loop step evaluates a CHUNK of trial step lengths at once
-        (one vmapped merit evaluation — elementwise + matmul work the TPU
-        eats for free) and takes the first index where the sequential
-        walk would have stopped.  The accepted alpha is bit-identical to
-        the one-at-a-time loop; only the schedule of evaluations changes.
-
-        Sequential semantics being reproduced, per trial k:
-          - Armijo pass at a_k  -> accept a_k;
-          - Armijo fail and ||(a_k dx, a_k' ds)|| < eps -> abort
-            (signal -2; the a_l pairing with ds reproduces the reference
-            formula at pyipm.py:1496 verbatim);
-          - else continue to k+1.
-        """
-        W = cfg.backtrack_chunk
-        if N:
-            base = jnp.sqrt(jnp.linalg.norm(a_s_in * dx) ** 2 +
-                            jnp.linalg.norm(a_l_in * ds) ** 2)
-        else:
-            base = jnp.linalg.norm(a_s_in * dx)
-
-        ks0 = jnp.arange(W, dtype=jnp.int32)
-
-        def scan_chunk(c):
-            ks = c * W + ks0
-            shrink = jnp.power(tau, (ks + 1).astype(dtype))
-            a_s_k = a_s_in * shrink
-            a_l_k = a_l_in * shrink
-            passes = jax.vmap(phi_at)(a_s_k) <= jax.vmap(armijo_rhs)(a_s_k)
-            abort_k = shrink * base < eps       # step unreliable at trial k
-            events = passes | abort_k
-            idx = jnp.argmax(events)            # first event in the chunk
-            found = jnp.any(events)
-            return found, passes[idx], a_s_k[idx], a_l_k[idx]
-
-        def cond_fn(c):
-            i, found, _, _, _ = c
-            return (~found) & (i * W < cfg.max_backtrack)
-
-        def body_fn(c):
-            i, _, _, _, _ = c
-            found, passed, a_s, a_l = scan_chunk(i)
-            return i + 1, found, passed, a_s, a_l
-
-        _, found, passed, a_s, a_l = lax.while_loop(
-            cond_fn, body_fn,
-            (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
-             jnp.zeros((), jnp.bool_), a_s_in * tau, a_l_in * tau))
-        aborted = found & (~passed)
-        return a_s, a_l, aborted
-
     false_ = jnp.zeros((), jnp.bool_)
 
     def try_soc(a_s):
@@ -184,45 +248,41 @@ def search(problem: Problem, cfg, x0, s0, lda0, dz, alpha_smax, alpha_lmax,
         return lax.cond(infeas_up, do_soc, no_soc, None)
 
     # ------------------------------------------------------------------
-    armijo_pass0 = phi_at(alpha_smax) <= armijo_rhs(alpha_smax)
+    # instantiate the shared policy engine (one line-search implementation
+    # framework-wide; the Schur path instantiates the same engine)
+    if N:
+        base = jnp.sqrt(jnp.linalg.norm(alpha_smax * dx) ** 2 +
+                        jnp.linalg.norm(alpha_lmax * ds) ** 2)
+    else:
+        base = jnp.linalg.norm(alpha_smax * dx)
 
-    def accept_full(_):
-        x = x0 + alpha_smax * dx
-        s = s0 + alpha_smax * ds
-        lda = lda0 + alpha_lmax * dl if problem.ncon else lda0
-        return SearchResult(x, s, lda, signal, alpha_smax, false_)
+    payload_zero = (jnp.zeros((D + N,), dtype), jnp.ones((), dtype))
 
-    def on_fail(_):
-        if problem.ncon:
-            accepted, dz_p, a_corr = try_soc(alpha_smax)
-        else:
-            accepted = false_
-            dz_p = jnp.zeros((D + N,), dtype)
-            a_corr = jnp.ones((), dtype)
+    def try_soc_engine(a_s):
+        if not problem.ncon:
+            return false_, payload_zero
+        accepted, dz_p, a_corr = try_soc(a_s)
+        return accepted, (dz_p, a_corr)
 
-        def corrected(_):
-            x = x0 + a_corr * (alpha_smax * dx + dz_p[:D])
-            s = s0 + a_corr * (alpha_smax * ds + dz_p[D:])
-            lda = lda0 + alpha_lmax * dl if problem.ncon else lda0
-            return SearchResult(x, s, lda, signal, alpha_smax,
-                                jnp.ones((), jnp.bool_))
+    def apply(a_s, a_l, soc, payload):
+        # soc: x = x0 + a_corr*(a_s dx + dz_p) (pyipm.py:1506-1512);
+        # else: x = x0 + a_s dx  (a_corr == 1, dz_p == 0 in payload_zero,
+        # and the where() masks any SOC payload on non-SOC branches)
+        dz_p, a_corr = payload
+        one = jnp.ones((), dtype)
+        corr = jnp.where(soc, a_corr, one)
+        gate = jnp.where(soc, one, jnp.zeros((), dtype))
+        x = x0 + corr * (a_s * dx + gate * dz_p[:D])
+        s = s0 + corr * (a_s * ds + gate * dz_p[D:])
+        lda = lda0 + a_l * dl if problem.ncon else lda0
+        return SearchResult(x, s, lda, signal, a_s, soc)
 
-        def backtracked(_):
-            a_s, a_l, aborted = backtrack(alpha_smax, alpha_lmax)
+    def abort():
+        sig = jnp.asarray(-2, signal.dtype)
+        return SearchResult(x0, s0, lda0, sig, jnp.zeros((), dtype), false_)
 
-            def aborted_fn(_):
-                sig = jnp.asarray(-2, signal.dtype)
-                return SearchResult(x0, s0, lda0, sig, jnp.zeros((), dtype),
-                                    false_)
-
-            def ok_fn(_):
-                x = x0 + a_s * dx
-                s = s0 + a_s * ds
-                lda = lda0 + a_l * dl if problem.ncon else lda0
-                return SearchResult(x, s, lda, signal, a_s, false_)
-
-            return lax.cond(aborted, aborted_fn, ok_fn, None)
-
-        return lax.cond(accepted, corrected, backtracked, None)
-
-    return lax.cond(armijo_pass0, accept_full, on_fail, None)
+    return merit_line_search(
+        phi_at, armijo_rhs, base, alpha_smax, alpha_lmax,
+        try_soc_engine, payload_zero, apply, abort,
+        tau=cfg.tau, eps=cfg.eps, chunk=cfg.backtrack_chunk,
+        max_backtrack=cfg.max_backtrack)

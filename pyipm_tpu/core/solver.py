@@ -36,6 +36,7 @@ from pyipm_tpu.core.lbfgs import (
 )
 from pyipm_tpu.core.linesearch import max_step_ftb, search
 from pyipm_tpu.core.problem import Problem
+from pyipm_tpu.core.updates import centrality_mu, nu_threshold
 from pyipm_tpu.ops.linalg import reg_solve_kkt
 
 
@@ -203,13 +204,13 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
             # sign convention flip for the multiplier block (pyipm.py:1723-1725)
             dz = dz.at[D + N:].multiply(-1)
 
-            # merit penalty update (pyipm.py:1727-1735); the tiny guard on the
-            # denominator avoids NaN poisoning when the iterate is feasible
-            # (the reference divides unguarded).
-            den = ((1.0 - cfg.rho)
-                   * jnp.sum(jnp.abs(K.con(problem, st.x, st.s))) + tiny)
-            nu_thres = (K.barrier_cost_grad(problem, st.x, st.s, st.mu)
-                        @ dz[:D + N]) / den
+            # merit penalty update (pyipm.py:1727-1735; shared formula,
+            # core/updates.py)
+            nu_thres = nu_threshold(
+                K.barrier_cost_grad(problem, st.x, st.s, st.mu)
+                @ dz[:D + N],
+                jnp.sum(jnp.abs(K.con(problem, st.x, st.s))),
+                cfg.rho, tiny)
             st = st._replace(nu=jnp.maximum(st.nu, nu_thres))
 
         if N:
@@ -314,16 +315,12 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
                                           _i32(-1), st.signal))
 
         if N:
-            # adaptive centrality-based barrier update (pyipm.py:1804-1814)
+            # adaptive centrality-based barrier update (pyipm.py:1804-1814;
+            # shared formula, core/updates.py)
             def mu_upd(st):
                 li = st.lda[M:]
-                sl = st.s @ li
-                xi = N * jnp.min(st.s * li) / (sl + eps)
-                mu_new = (0.1 * jnp.minimum(
-                    0.05 * (1.0 - xi) / (xi + eps), 2.0) ** 3 * sl / N)
-                # floored at cfg.mu_floor instead of 0 (see IPMConfig)
-                mu_new = jnp.maximum(mu_new,
-                                     jnp.asarray(cfg.mu_floor, dtype))
+                mu_new = centrality_mu(st.s @ li, jnp.min(st.s * li), N,
+                                       eps, cfg.mu_floor, dtype)
                 return st._replace(mu=mu_new)
 
             st = lax.cond(st.signal == 0, mu_upd, lambda s_: s_, st)

@@ -74,3 +74,63 @@ def test_separable_invariant_to_mesh_size():
     np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r8.x),
                                rtol=1e-8, atol=1e-8)
     assert int(r2.iter_count) == int(r8.iter_count)
+
+
+def test_separable_with_blockwise_equalities():
+    """Eq-beyond-box structure: per-block equality constraints ce_k(x_k)=0
+    on top of coupling + bounds.  The distributed solve must converge and
+    satisfy ALL constraint classes plus global stationarity."""
+    from pyipm_tpu.parallel.schur import sample_separable_eq
+
+    K, d, mc, me = 8, 4, 2, 1
+    spec, data, x0 = sample_separable_eq(jax.random.key(3), K, d, mc,
+                                         me=me, dtype=jnp.float64)
+    cfg = IPMConfig(float_dtype="float64", verbosity=0, niter=8, miter=20)
+    fn = make_separable_solver(spec, _mesh(8), cfg)
+    res = fn(x0, data)
+    kkt = np.asarray(res.kkt)
+    assert int(res.signal) == 1, f"kkt={kkt} signal={int(res.signal)}"
+    assert np.all(kkt <= cfg.Ktol * (1 + 1e-9))
+
+    x = np.asarray(res.x)
+    z = np.asarray(res.z)
+    le = np.asarray(res.le)
+    lc = np.asarray(res.lc)
+    Q = np.asarray(data.theta["Q"])
+    c = np.asarray(data.theta["c"])
+    C = np.asarray(data.theta["C"])
+    e = np.asarray(data.theta["e"])
+    A = np.asarray(data.A)
+    # per-block equalities satisfied
+    ceb = np.einsum("kmd,kd->km", C, x) - e
+    assert np.linalg.norm(ceb.ravel()) <= 1e-4, ceb
+    # coupling satisfied
+    cec = np.einsum("kcd,kd->c", A, x) - np.asarray(data.b)
+    assert np.linalg.norm(cec) <= 1e-4
+    # bounds respected
+    assert np.all(x >= np.asarray(data.lb) - 1e-8)
+    # global stationarity: Q x + c - A^T lc - C^T le - z = 0
+    r = (np.einsum("kij,kj->ki", Q, x) + c
+         - np.einsum("kcd,c->kd", A, lc)
+         - np.einsum("kmd,km->kd", C, le) - z)
+    assert np.linalg.norm(r.ravel()) <= 2e-4, np.linalg.norm(r.ravel())
+
+
+def test_separable_eq_without_box():
+    """Pure-equality separable problem (no bounds): per-block + coupling
+    equalities only."""
+    from pyipm_tpu.parallel.schur import sample_separable_eq
+
+    K, d, mc, me = 4, 3, 2, 1
+    spec, data, x0 = sample_separable_eq(jax.random.key(4), K, d, mc,
+                                         me=me, dtype=jnp.float64,
+                                         has_box=False)
+    cfg = IPMConfig(float_dtype="float64", verbosity=0, niter=8, miter=20)
+    fn = make_separable_solver(spec, _mesh(4), cfg)
+    res = fn(x0, data)
+    assert int(res.signal) == 1, np.asarray(res.kkt)
+    x = np.asarray(res.x)
+    C = np.asarray(data.theta["C"])
+    e = np.asarray(data.theta["e"])
+    ceb = np.einsum("kmd,kd->km", C, x) - e
+    assert np.linalg.norm(ceb.ravel()) <= 1e-4
