@@ -110,8 +110,9 @@ def main():
     # first_wave=32 keeps ~all instances' trajectories bit-identical to the
     # lockstep solver through their whole solve (mean ~11 iterations), so
     # the Ktol hit rate matches lockstep while stragglers still retire into
-    # compact waves (measured on-TPU: hit 0.9984 @ 44k iters/s vs
-    # fw=16: 0.9978 @ 71k; lockstep: 0.9981 @ 6.2k).
+    # compact waves.  Measured on-TPU with the Pallas lane-kernel dispatch
+    # (ops/pallas_ldlt.py): fw=32: hit 0.9998 @ 63k iters/s; fw=16:
+    # 0.9993 @ 67k; lockstep: 0.9981 @ 5.6k.
     fw = int(os.environ.get("BENCH_FIRST_WAVE", 32))
     wv = int(os.environ.get("BENCH_WAVE", 64))
     solver = make_wave_batch_solver(

@@ -271,21 +271,45 @@ def _use_pallas(n: int) -> bool:
 
 
 # ----------------------------------------------------------------------
-# small-system dispatch.
+# small-system dispatch — measurement-backed per shape.
 #
-# Measured on v5e (B=2048, n=16, f32): EVERY sequential-substitution
-# variant — the Pallas lane kernels above, vmapped fori_loop, XLA's
-# triangular_solve — lands at 26-28 ms because tiny dependent column
-# steps are dispatch-latency-bound, while the statically-unrolled
-# factorization (ops/linalg.ldlt_factor_unrolled, 0.09 ms) and the
-# log-depth-inverse solve (ldlt_solve_inv, matmuls only) run at memory
-# speed.  The unrolled XLA forms are therefore the default on ALL
-# backends; the Pallas lane kernels remain exported above for direct use
-# and comparison benchmarks.
+# benchmarks/bench_lane_kernels.py, v5e f32, factor+solve wall (ms):
+#
+#     (B, n)        xla_unrolled   pallas_lane   winner
+#     (2048, 16)          5.96          2.67     lane   (2.2x)
+#     (8192, 16)         22.14          2.64     lane   (8.4x)
+#     ( 128, 32)          2.82          2.52     lane
+#     ( 512, 32)          4.27          2.48     lane   (1.7x)
+#     (2048, 32)          8.90          2.73     lane   (3.3x)
+#     (8192, 32)         45.57          4.44     lane  (10.3x)
+#     ( 128, 64)          2.45          2.51     xla    (~tie)
+#     ( 512, 64)             —          OOM      xla    (VMEM stack)
+#
+# The lane kernels win wherever they fit comfortably in VMEM (n <= 32)
+# and the batch fills at least one 128-lane grid step; the
+# statically-unrolled XLA factorization + log-depth-inverse solve
+# (ops/linalg.ldlt_factor_unrolled / ldlt_solve_inv) win at larger n
+# (MXU matmuls) and remain the fallback on every other backend/dtype.
+# Dispatch below encodes exactly that crossover.
+LANE_MAX_N = 32          # VMEM-comfortable lane-kernel system size
+LANE_MIN_BATCH = LANE    # at least one full 128-lane grid step
+
+
+def _lane_dispatch(n: int, batch: int, dtype) -> bool:
+    if _FORCE_DISABLE:
+        return False
+    try:
+        return (n <= LANE_MAX_N and batch >= LANE_MIN_BATCH
+                and dtype == jnp.float32
+                and jax.default_backend() == "tpu")
+    except Exception:
+        return False
+
+
 @jax.custom_batching.custom_vmap
 def ldlt_factor_small(A):
-    """LDL^T for n <= 128, unrolled — no sequential dispatch chains
-    (batched calls dispatch through the custom_vmap rule below)."""
+    """LDL^T for n <= 128; single instances take the unrolled XLA form,
+    batched (vmapped) calls dispatch per the measured crossover above."""
     L, d = _lin.ldlt_factor_unrolled(A[None])
     return L[0], d[0]
 
@@ -294,7 +318,10 @@ def ldlt_factor_small(A):
 def _factor_vmap_rule(axis_size, in_batched, A):
     (a_batched,) = in_batched
     assert a_batched
-    L, d = _lin.ldlt_factor_unrolled(A)
+    if _lane_dispatch(A.shape[-1], axis_size, A.dtype):
+        L, d = batched_ldlt_factor(A)
+    else:
+        L, d = _lin.ldlt_factor_unrolled(A)
     return (L, d), (True, True)
 
 
@@ -312,4 +339,6 @@ def _solve_vmap_rule(axis_size, in_batched, L, d, b):
             _lin.ldlt_solve_inv,
             in_axes=tuple(0 if x else None for x in (lb, db, bb)))
         return f(L, d, b), True
+    if _lane_dispatch(L.shape[-1], axis_size, L.dtype):
+        return batched_ldlt_solve(L, d, b), True
     return _lin.ldlt_solve_inv(L, d, b), True
