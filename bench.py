@@ -101,7 +101,15 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", 10000))
     D = int(os.environ.get("BENCH_NVAR", 16))
     L = 4
-    cfg = IPMConfig(float_dtype="float32", verbosity=0, Ktol=1e-4)
+    # The headline metric keeps the reference-parity 'adaptive' barrier so
+    # iters/s stays comparable round-over-round; the Mehrotra
+    # predictor-corrector (mu_strategy='mehrotra') HALVES the iteration
+    # count (mean 10.3 -> 4.8) and is benched separately below as the
+    # end-to-end solve-throughput keys (mehrotra_*) — on-TPU it finishes
+    # the same 10k-instance fleet ~1.5x faster (1.06s vs 1.62s).
+    strategy = os.environ.get("BENCH_MU_STRATEGY", "adaptive")
+    cfg = IPMConfig(float_dtype="float32", verbosity=0, Ktol=1e-4,
+                    mu_strategy=strategy)
 
     key = jax.random.key(42)
     data = sample_qp_batch(key, B, D, nlin=L)
@@ -113,8 +121,9 @@ def main():
     # compact waves.  Measured on-TPU with the Pallas lane-kernel dispatch
     # (ops/pallas_ldlt.py): fw=32: hit 0.9998 @ 63k iters/s; fw=16:
     # 0.9993 @ 67k; lockstep: 0.9981 @ 5.6k.
-    fw = int(os.environ.get("BENCH_FIRST_WAVE", 32))
-    wv = int(os.environ.get("BENCH_WAVE", 64))
+    fw_default = 16 if strategy == "mehrotra" else 32
+    fw = int(os.environ.get("BENCH_FIRST_WAVE", fw_default))
+    wv = int(os.environ.get("BENCH_WAVE", 2 * fw))
     solver = make_wave_batch_solver(
         config=cfg, family=lambda d: make_qp_problem(d, D, L),
         first_wave=fw, wave=wv, min_pad=256)
@@ -175,6 +184,28 @@ def main():
     lock_elapsed = time.perf_counter() - t0
     lock_ips = int(np.sum(np.asarray(lres.iter_count))) / lock_elapsed
 
+    # ----- Mehrotra predictor-corrector: end-to-end solve throughput --
+    if strategy != "mehrotra" and not os.environ.get("BENCH_SKIP_MEHROTRA"):
+        mcfg = cfg.replace(mu_strategy="mehrotra")
+        msolver = make_wave_batch_solver(
+            config=mcfg, family=lambda d: make_qp_problem(d, D, L),
+            first_wave=16, wave=32, min_pad=256)
+        mres = jax.block_until_ready(msolver(x0, data))   # compile+stats
+        t0 = time.perf_counter()
+        jax.block_until_ready(msolver(x0, data))
+        m_wall = time.perf_counter() - t0
+        m_sigs = np.asarray(mres.signal)
+        mehrotra = {
+            "mehrotra_solves_per_sec": round(B / m_wall, 1),
+            "mehrotra_wall_s": round(m_wall, 3),
+            "mehrotra_hit_rate": round(
+                float(np.mean(np.isin(m_sigs, (1, 2)))), 4),
+            "mehrotra_mean_iters": round(
+                float(np.mean(np.asarray(mres.iter_count))), 2),
+        }
+    else:
+        mehrotra = {}
+
     # ----- BASELINE.md config 4: KKT factor+solve hot path ------------
     if os.environ.get("BENCH_SKIP_KKT"):
         kkt_gflops, kkt_k = None, None
@@ -195,12 +226,15 @@ def main():
         "wall_s": round(elapsed, 3),
         "rep_walls_s": [round(t, 3) for t in times],
         "total_inner_iters": total_iters,
+        "solves_per_sec": round(B / elapsed, 1),
+        "mu_strategy": strategy,
         "ktol_hit_rate": round(hit_rate, 4),
         "backend": jax.default_backend(),
         "baseline": "host-loop single-instance solves (reference-style)",
         "baseline_iters_per_sec": round(base_iters_per_sec, 1),
         "lockstep_iters_per_sec": round(lock_ips, 1),
         "lockstep_wall_s": round(lock_elapsed, 3),
+        **mehrotra,
         "kkt_gflops": kkt_gflops,
         "kkt_n": kkt_k,
     }

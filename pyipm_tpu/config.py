@@ -55,6 +55,12 @@ class IPMConfig:
     # --- TPU-native extensions (absent in the reference) ---
     matmul_precision: str = "highest"  # TPU MXU passes for solver matmuls
     mu_min: Optional[float] = None  # barrier floor; default machine eps
+    mu_strategy: str = "adaptive"  # 'adaptive' = the reference's per-outer
+    #   Fiacco-McCormick/centrality update (pyipm.py:1804-1814);
+    #   'mehrotra' = per-iteration predictor-corrector barrier with a
+    #   second-order complementarity correction (one factorization, two
+    #   cached-factor solves; requires inequality constraints, the
+    #   'condensed' linear solver, and exact-Hessian mode)
     linear_solver: str = "condensed"  # 'condensed' (slack-eliminated, default) | 'ldlt' | 'lu'
     max_reg_retries: int = 40      # bound on the delta escalation loop
     max_backtrack: int = 10_000    # bound on the Armijo backtracking loop
@@ -85,6 +91,11 @@ class IPMConfig:
         assert self.lbfgs >= 0
         assert self.lbfgs_zeta is None or self.lbfgs_zeta > 0.0
         assert self.linear_solver in ("condensed", "ldlt", "lu")
+        assert self.mu_strategy in ("adaptive", "mehrotra")
+        if self.mu_strategy == "mehrotra":
+            assert self.linear_solver == "condensed", \
+                "mehrotra requires linear_solver='condensed' (factor reuse)"
+            assert not self.lbfgs, "mehrotra requires exact-Hessian mode"
         # On TPU, JAX's DEFAULT matmul precision runs f32 matmuls as
         # bfloat16 MXU passes (8-bit mantissa) — which silently destroys
         # the factorization accuracy the f32 robustness stack depends on

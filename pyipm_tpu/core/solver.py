@@ -137,6 +137,19 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
         (D+M)^2 system (ops/condensed.py); 'ldlt'/'lu' factor the full
         (D+2N+M)^2 matrix like the reference."""
         if cfg.linear_solver == "condensed":
+            if cfg.mu_strategy == "mehrotra" and N:
+                from pyipm_tpu.ops.condensed import (
+                    condensed_direction_mehrotra,
+                )
+
+                dz, mu_new, delta_new, retries = \
+                    condensed_direction_mehrotra(
+                        problem, cfg, st.x, st.s, st.lda, st.mu,
+                        st.delta, cfg.mu_floor)
+                return dz, st._replace(
+                    mu=mu_new, delta=delta_new,
+                    reg_retries=st.reg_retries + retries)
+
             from pyipm_tpu.ops.condensed import condensed_direction
 
             dz, delta_new, retries = condensed_direction(
@@ -314,9 +327,10 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
         st = st._replace(signal=jnp.where((st.signal == 0) & is_last,
                                           _i32(-1), st.signal))
 
-        if N:
+        if N and cfg.mu_strategy != "mehrotra":
             # adaptive centrality-based barrier update (pyipm.py:1804-1814;
-            # shared formula, core/updates.py)
+            # shared formula, core/updates.py).  Under 'mehrotra' the
+            # barrier evolves per-iteration inside the direction solve.
             def mu_upd(st):
                 li = st.lda[M:]
                 mu_new = centrality_mu(st.s @ li, jnp.min(st.s * li), N,

@@ -673,14 +673,29 @@ def lstsq_minnorm(A, b):
         L, dv = ldlt_factor_small(G)
         return ldlt_solve_small(L, dv, rhs)
 
+    def reg_solve(G, rhs, k):
+        """(G + reg*s*I)^{-1} rhs with ONE guarded refinement step: the
+        Tikhonov term biases the solution by O(reg) relative; refining
+        against the UNregularized G cancels that to O(reg^2) when the
+        system is consistent.  On rank-deficient G with inconsistent rhs
+        the correction explodes along null(G) (amplified by 1/reg), so the
+        refined iterate is kept only where it reduces ||G y - rhs|| — the
+        deficient case keeps the stable biased solution, whose deviation
+        from the reference's exact min-norm lstsq stays O(sqrt(eps))
+        (bounded by tests/test_components.py)."""
+        scale = jnp.maximum(jnp.trace(G) / k, jnp.ones((), dtype))
+        Greg = G + reg * scale * jnp.eye(k, dtype=dtype)
+        y0 = sym_solve(Greg, rhs)
+        r0 = rhs - G @ y0
+        y1 = y0 + sym_solve(Greg, r0)
+        r1 = rhs - G @ y1
+        better = jnp.linalg.norm(r1) < jnp.linalg.norm(r0)
+        return jnp.where(better, y1, y0)
+
     if m <= n:
         # underdetermined: x = A^T (A A^T + reg*s*I)^{-1} b
-        G = A @ A.T
-        scale = jnp.maximum(jnp.trace(G) / m, jnp.ones((), dtype))
-        x = A.T @ sym_solve(G + reg * scale * jnp.eye(m, dtype=dtype), b)
+        x = A.T @ reg_solve(A @ A.T, b, m)
     else:
         # overdetermined: x = (A^T A + reg*s*I)^{-1} A^T b
-        G = A.T @ A
-        scale = jnp.maximum(jnp.trace(G) / n, jnp.ones((), dtype))
-        x = sym_solve(G + reg * scale * jnp.eye(n, dtype=dtype), A.T @ b)
+        x = reg_solve(A.T @ A, A.T @ b, n)
     return x

@@ -21,6 +21,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite's wall time is dominated by
+# jit compiles of many distinct solver configurations; caching them on
+# disk makes repeat runs (the common case while iterating) several times
+# faster.  Keyed by jaxpr/flags/version, so stale hits are not a risk.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

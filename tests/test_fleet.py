@@ -8,6 +8,7 @@ same-structure instances into batched buckets.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pyipm_tpu import IPMConfig
 from pyipm_tpu.core.solver import make_solver
@@ -22,25 +23,22 @@ def _qp_instances(key, n, D, L):
             for i in range(n)]
 
 
-def test_fleet_mixed_shapes_matches_single_solves():
-    """≥3 distinct (D, M, N) shapes in one fleet; every instance must match
-    its own single solve exactly (same bucketing => identical programs for
-    singletons; batched buckets match to f64 roundoff)."""
+def _run_mixed_fleet(nA, nB, ref_nums):
+    """Mixed-shape fleet vs per-instance single solves."""
     cfg = IPMConfig(Ftol=1e-8, verbosity=0)
     rng = np.random.default_rng(42)
 
     problems, x0s = [], []
     # family A: D=4 QPs (batchable bucket)
-    for p in _qp_instances(jax.random.key(0), 5, 4, 2):
+    for p in _qp_instances(jax.random.key(0), nA, 4, 2):
         problems.append(p)
         x0s.append(np.zeros(4))
     # family B: D=8 QPs with more constraints (second bucket)
-    for p in _qp_instances(jax.random.key(1), 3, 8, 3):
+    for p in _qp_instances(jax.random.key(1), nB, 8, 3):
         problems.append(p)
         x0s.append(np.zeros(8))
-    # reference problems 7 (D=3, mixed) and 1 (D=2, unconstrained):
-    # distinct singleton buckets
-    for num in (7, 1):
+    # reference problems: distinct singleton buckets
+    for num in ref_nums:
         spec = get_problem(num)
         problems.append(spec.make(dtype=np.float64))
         x0s.append(spec.sample_x0(rng))
@@ -54,6 +52,20 @@ def test_fleet_mixed_shapes_matches_single_solves():
         assert int(res.iter_count) == int(single.iter_count)
         np.testing.assert_allclose(np.asarray(res.x), np.asarray(single.x),
                                    rtol=1e-9, atol=1e-9)
+
+
+def test_fleet_mixed_shapes_matches_single_solves():
+    """3 distinct (D, M, N) shapes in one fleet; every instance must match
+    its own single solve exactly (same bucketing => identical programs for
+    singletons; batched buckets match to f64 roundoff)."""
+    _run_mixed_fleet(3, 2, (7,))
+
+
+@pytest.mark.slow
+def test_fleet_mixed_shapes_larger():
+    """4 distinct shapes, bigger buckets (incl. an unconstrained
+    singleton)."""
+    _run_mixed_fleet(5, 3, (7, 1))
 
 
 def test_fleet_bucketing_groups_same_structure():

@@ -21,11 +21,11 @@ from pyipm_tpu.models.reference_problems import get_problem
 from pyipm_tpu.parallel.batch import make_wave_batch_solver
 
 
-def test_run_budget_pause_resume_matches_full():
+def _budget_matches_full(nums):
     """Chunked run_budget solves must match straight-through solves on
     iteration counts, signals, and (to roundoff across compilation
     boundaries) iterates."""
-    for num in (1, 5, 7, 10):
+    for num in nums:
         spec = get_problem(num)
         prob = spec.make(dtype=np.float64)
         cfg = IPMConfig(Ftol=1e-8, verbosity=0)
@@ -45,6 +45,15 @@ def test_run_budget_pause_resume_matches_full():
         assert int(res.iter_count) == int(full.iter_count)
         np.testing.assert_allclose(np.asarray(res.x), np.asarray(full.x),
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_run_budget_pause_resume_matches_full():
+    _budget_matches_full((5, 10))      # ineq-only + mixed
+
+
+@pytest.mark.slow
+def test_run_budget_pause_resume_all_classes():
+    _budget_matches_full((1, 7))       # unconstrained + eq+ineq
 
 
 @pytest.mark.slow
@@ -84,7 +93,7 @@ def test_wave_fixed_problem_matches_single_solves():
     prob = spec.make(dtype=np.float64)
     cfg = IPMConfig(Ftol=1e-8, verbosity=0)
     rng = np.random.default_rng(3)
-    B = 12
+    B = 6
     x0s = jnp.asarray(np.stack([spec.sample_x0(rng) for _ in range(B)]))
 
     wavefn = make_wave_batch_solver(prob, cfg, first_wave=4, wave=8,
