@@ -151,7 +151,8 @@ class IPM:
 
     ``self.signal`` reports termination: 1 Ktol converged, 2 Ftol
     converged, -1 maximum iterations, -2 search direction unreliable to
-    machine precision.
+    machine precision, -3 non-finite iterate (the in-loop NaN guard,
+    IPMConfig.nan_guard — a TPU-native extension).
 
     KKT(x, s, lda, mu=None)
     -----------------------
@@ -337,6 +338,8 @@ class IPM:
         if self.signal == -2:
             msg.append('Terminated due to bad direction in backtracking '
                        'line search')
+        elif self.signal == -3:
+            msg.append('Terminated on non-finite iterate')
         elif np.all(kktn <= self.config.Ktol):
             msg.append('Converged to Ktol tolerance')
         elif self.signal == 2:

@@ -69,6 +69,13 @@ class IPMConfig:
     #                                scan (core/linesearch.py)
     ldlt_block: int = 128          # blocked-factorization panel size
     trace_metrics: bool = False    # record per-iteration metric arrays
+    nan_guard: bool = True         # per-iteration finiteness check on the
+    #                                iterate: terminate with signal -3
+    #                                (numerical failure) instead of
+    #                                silently iterating on NaN/Inf — the
+    #                                in-loop sanitizer the reference lacks
+    #                                (it relies on downstream NumPy
+    #                                warnings only)
     inject_solve_fault: float = 0.0  # fault-injection: perturb dz by this
     #                                  relative magnitude (tests the
     #                                  line-search/signal recovery path)

@@ -17,6 +17,8 @@ Consequences:
 Signal taxonomy (reference pyipm.py:1656, 1665, 1761, 1796, 1502):
     0 running | 1 Ktol converged | 2 Ftol converged
    -1 max iterations | -2 unreliable search direction
+   -3 numerical failure: non-finite iterate (TPU-native extension — the
+      in-loop NaN guard, IPMConfig.nan_guard; no reference analog)
 """
 
 from __future__ import annotations
@@ -256,6 +258,22 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
         st = st._replace(x=res.x, s=res.s, lda=res.lda, signal=res.signal,
                          alpha=res.alpha, iter_count=st.iter_count + 1)
         st = st._replace(kkt=K.kkt_norms(problem, st.x, st.s, st.lda, st.mu))
+
+        if cfg.nan_guard:
+            # in-loop sanitizer (SURVEY.md §5; absent in the reference):
+            # a non-finite iterate or residual is terminal — flag it with
+            # signal -3 instead of spinning the remaining budget on NaNs
+            finite = (jnp.all(jnp.isfinite(st.x))
+                      & jnp.all(jnp.isfinite(st.s))
+                      & jnp.all(jnp.isfinite(st.lda))
+                      & jnp.all(jnp.isfinite(st.kkt)))
+            st = st._replace(signal=jnp.where(
+                (st.signal >= 0) & ~finite, _i32(-3), st.signal))
+            if cfg.verbosity > 2:
+                lax.cond(st.signal == -3,
+                         lambda: jax.debug.print(
+                             "Non-finite iterate detected; terminating."),
+                         lambda: None)
 
         if cfg.trace_metrics:
             t = st.iter_count - 1

@@ -95,3 +95,68 @@ def test_verbosity_notices(capfd):
     out = capfd.readouterr().out
     if int(res.signal) == -2:
         assert "Search direction is unreliable to machine precision." in out
+
+
+def test_nan_guard_flags_poisoned_problem():
+    """A derivative that goes NaN mid-domain must terminate with signal
+    -3 (the in-loop sanitizer), not iterate on NaNs to the budget."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyipm_tpu import make_problem
+
+    def f(x):
+        return (x[0] - 2.0) ** 2 + x[1] ** 2
+
+    def df(x):
+        # poisoned GRADIENT beyond the cliff: the merit stays finite (so
+        # the line search cannot catch it — a NaN merit aborts with -2),
+        # but the next direction/iterate goes non-finite
+        return jax.grad(f)(x) + jnp.where(x[0] > 0.5, jnp.nan, 0.0)
+
+    prob = make_problem(f, nvar=2, df=df)
+    res = solve(prob, np.array([0.0, 1.0]),
+                IPMConfig(verbosity=0, niter=30))
+    assert int(res.signal) == -3, int(res.signal)
+    # terminated promptly, not at the iteration budget
+    assert int(res.iter_count) < 30 * 20
+
+
+def test_nan_guard_off_preserves_reference_behavior():
+    import jax.numpy as jnp
+
+    from pyipm_tpu import make_problem
+
+    def f(x):
+        return jnp.where(x[0] < 0.5, (x[0] - 2.0) ** 2,
+                         jnp.nan) + x[1] ** 2
+
+    prob = make_problem(f, nvar=2)
+    res = solve(prob, np.array([0.0, 1.0]),
+                IPMConfig(verbosity=0, nan_guard=False))
+    assert int(res.signal) != -3
+
+
+def test_profile_solve_and_iteration_report():
+    from pyipm_tpu import make_solver
+    from pyipm_tpu.utils.profiling import (
+        SolveProfile, iteration_report, profile_solve,
+    )
+
+    spec = REFERENCE_PROBLEMS[7]
+    prob = spec.make()
+    cfg = IPMConfig(Ftol=1e-8, verbosity=0, trace_metrics=True)
+    fn = make_solver(prob, cfg)
+    rng = np.random.default_rng(42)
+    x0 = spec.sample_x0(rng)
+
+    prof = profile_solve(fn, x0, reps=2)
+    assert isinstance(prof, SolveProfile)
+    assert prof.compile_s > 0 and prof.execute_s > 0
+    assert prof.total_iters and prof.total_iters > 0
+    assert "execute" in str(prof)
+
+    res = fn(x0)
+    rep = iteration_report(res)
+    assert rep.count("\n") >= int(res.iter_count)
+    assert "mu" in rep
