@@ -658,39 +658,51 @@ def lstsq_minnorm(A, b):
     dtype = A.dtype
     reg = jnp.sqrt(jnp.finfo(dtype).eps)
 
-    def sym_solve(G, rhs):
-        """SPD solve sized for the normal equations.  jnp.linalg.solve
-        lowers to a batched-LU custom call whose sequential pivot loop
-        dominated whole-solver profiles (3.5 s of a 7.6 s batched solve —
-        under vmap the SOC branch executes every iteration); route small
-        systems through the unrolled LDL^T + log-depth-inverse path."""
+    def sym_solver(G):
+        """Factor once, solve many — the refinement step reuses the
+        factors, so the SPD factorization cost is paid ONCE per lstsq
+        (this path executes every batched iteration: under vmap the SOC's
+        lax.cond runs both branches).  jnp.linalg.solve lowers to a
+        batched-LU custom call whose sequential pivot loop dominated
+        whole-solver profiles (3.5 s of a 7.6 s batched solve); route
+        small systems through the unrolled LDL^T + log-depth-inverse
+        path."""
         k = G.shape[0]
         if k > 128:
-            return jnp.linalg.solve(G, rhs)
+            lu, piv = jax.scipy.linalg.lu_factor(G)
+            return lambda rhs: jax.scipy.linalg.lu_solve((lu, piv), rhs)
         from pyipm_tpu.ops.pallas_ldlt import (
             ldlt_factor_small, ldlt_solve_small,
         )
         L, dv = ldlt_factor_small(G)
-        return ldlt_solve_small(L, dv, rhs)
+        return lambda rhs: ldlt_solve_small(L, dv, rhs)
 
     def reg_solve(G, rhs, k):
-        """(G + reg*s*I)^{-1} rhs with ONE guarded refinement step: the
-        Tikhonov term biases the solution by O(reg) relative; refining
-        against the UNregularized G cancels that to O(reg^2) when the
-        system is consistent.  On rank-deficient G with inconsistent rhs
-        the correction explodes along null(G) (amplified by 1/reg), so the
-        refined iterate is kept only where it reduces ||G y - rhs|| — the
-        deficient case keeps the stable biased solution, whose deviation
-        from the reference's exact min-norm lstsq stays O(sqrt(eps))
-        (bounded by tests/test_components.py)."""
+        """(G + reg*s*I)^{-1} rhs with GUARDED refinement: the Tikhonov
+        term biases the solution by O(reg/eig_min) relative; each
+        refinement step against the UNregularized G contracts that bias by
+        reg/(eig_min+reg), so a few steps recover even moderately
+        ill-conditioned systems (each step is three matvecs against the
+        hoisted factors — the factorization is paid once).  On
+        rank-deficient G with inconsistent rhs the correction explodes
+        along null(G) (amplified by 1/reg), so each refined iterate is
+        kept only where it reduces ||G y - rhs|| — the deficient case
+        keeps the stable biased solution, whose deviation from the
+        reference's exact min-norm lstsq stays O(sqrt(eps)) (bounded by
+        tests/test_components.py)."""
         scale = jnp.maximum(jnp.trace(G) / k, jnp.ones((), dtype))
         Greg = G + reg * scale * jnp.eye(k, dtype=dtype)
-        y0 = sym_solve(Greg, rhs)
-        r0 = rhs - G @ y0
-        y1 = y0 + sym_solve(Greg, r0)
-        r1 = rhs - G @ y1
-        better = jnp.linalg.norm(r1) < jnp.linalg.norm(r0)
-        return jnp.where(better, y1, y0)
+        solve = sym_solver(Greg)
+        y = solve(rhs)
+        rn = jnp.linalg.norm(rhs - G @ y)
+        for _ in range(3):
+            r = rhs - G @ y
+            y1 = y + solve(r)
+            rn1 = jnp.linalg.norm(rhs - G @ y1)
+            better = rn1 < rn
+            y = jnp.where(better, y1, y)
+            rn = jnp.where(better, rn1, rn)
+        return y
 
     if m <= n:
         # underdetermined: x = A^T (A A^T + reg*s*I)^{-1} b

@@ -282,16 +282,22 @@ def _use_pallas(n: int) -> bool:
 #     ( 512, 32)          4.27          2.48     lane   (1.7x)
 #     (2048, 32)          8.90          2.73     lane   (3.3x)
 #     (8192, 32)         45.57          4.44     lane  (10.3x)
-#     ( 128, 64)          2.45          2.51     xla    (~tie)
-#     ( 512, 64)             —          OOM      xla    (VMEM stack)
+#     ( 512, 36)          4.86          2.91     lane   (1.7x)
+#     (2048, 36)         12.63          3.20     lane   (3.9x)
+#     (8192, 36)         67.48          5.99     lane  (11.3x)
+#     (2048, 40)         12.73          3.71     lane   (3.4x)
+#     ( 512, 48)          4.86          2.96     lane   (1.6x)
+#     (8192, 48)         68.71         10.25     lane   (6.7x)
+#     ( 512, 64)             —          OOM      xla    (f32[64,64,128]
+#                        blocks blow the 16M scoped-VMEM stack limit)
 #
-# The lane kernels win wherever they fit comfortably in VMEM (n <= 32)
-# and the batch fills at least one 128-lane grid step; the
-# statically-unrolled XLA factorization + log-depth-inverse solve
-# (ops/linalg.ldlt_factor_unrolled / ldlt_solve_inv) win at larger n
-# (MXU matmuls) and remain the fallback on every other backend/dtype.
-# Dispatch below encodes exactly that crossover.
-LANE_MAX_N = 32          # VMEM-comfortable lane-kernel system size
+# The lane kernels win wherever they fit in scoped VMEM (n <= 48; n = 64
+# overflows the 16M stack limit) and the batch fills at least one
+# 128-lane grid step; the statically-unrolled XLA factorization +
+# log-depth-inverse solve (ops/linalg.ldlt_factor_unrolled /
+# ldlt_solve_inv) remain the fallback at larger n and on every other
+# backend/dtype.  Dispatch below encodes exactly that crossover.
+LANE_MAX_N = 48          # scoped-VMEM-safe lane-kernel system size
 LANE_MIN_BATCH = LANE    # at least one full 128-lane grid step
 
 
