@@ -17,6 +17,7 @@ Typical multi-host launch (one process per host):
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -28,15 +29,23 @@ def initialize(coordinator_address: Optional[str] = None,
                process_id: Optional[int] = None) -> None:
     """Initialize the multi-host runtime (no-op when single-process).
 
-    On Cloud TPU pods all arguments are discovered from the environment;
-    pass them explicitly for CPU/GPU clusters
-    (``jax.distributed.initialize`` contract).
+    Rendezvous resolution order: explicit arguments, then the ``PYIPM_*``
+    environment block set by the launcher (``parallel/launch.py``), then
+    jax's own environment discovery (Cloud TPU pods need nothing at all).
 
     Must run before anything touches the XLA backend (jax.devices,
     any computation); checked via ``jax.distributed.is_initialized`` —
     NOT ``jax.process_count()``, which would itself boot the backend."""
     if jax.distributed.is_initialized():
         return  # already initialized
+    if coordinator_address is None and num_processes is None:
+        # launcher rendezvous env (parallel/launch.py contract)
+        from pyipm_tpu.parallel import launch as _l
+
+        coordinator_address = os.environ.get(_l.ENV_COORD)
+        if coordinator_address is not None:
+            num_processes = int(os.environ[_l.ENV_NPROC])
+            process_id = int(os.environ[_l.ENV_PROC_ID])
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()
