@@ -106,7 +106,7 @@ def main():
     # predictor-corrector (mu_strategy='mehrotra') HALVES the iteration
     # count (mean 10.3 -> 4.8) and is benched separately below as the
     # end-to-end solve-throughput keys (mehrotra_*) — on-TPU it finishes
-    # the same 10k-instance fleet ~1.5x faster (1.06s vs 1.62s).
+    # the same 10k-instance fleet ~1.7x faster (0.72s vs 1.24s).
     strategy = os.environ.get("BENCH_MU_STRATEGY", "adaptive")
     cfg = IPMConfig(float_dtype="float32", verbosity=0, Ktol=1e-4,
                     mu_strategy=strategy)
@@ -115,13 +115,13 @@ def main():
     data = sample_qp_batch(key, B, D, nlin=L)
     x0 = jnp.zeros((B, D), jnp.float32)
 
-    # first_wave=32 keeps ~all instances' trajectories bit-identical to the
-    # lockstep solver through their whole solve (mean ~11 iterations), so
-    # the Ktol hit rate matches lockstep while stragglers still retire into
-    # compact waves.  Measured on-TPU with the Pallas lane-kernel dispatch
-    # (ops/pallas_ldlt.py): fw=32: hit 0.9998 @ 63k iters/s; fw=16:
-    # 0.9993 @ 67k; lockstep: 0.9981 @ 5.6k.
-    fw_default = 16 if strategy == "mehrotra" else 32
+    # first-wave sweep on v5e with the lane-kernel SOC dispatch (waves of
+    # 2*fw, B=10k, n=16): adaptive fw=8: 58.8k iters/s @ hit 0.9987;
+    # fw=16: 82.1k @ 0.9993; fw=24: 67.8k @ 0.9987; fw=32: 56.9k @
+    # 0.9996; lockstep: 5.9k @ 0.998.  mehrotra fw=4: 7.1k solves/s;
+    # fw=8: 14.0k @ 0.9997; fw=16: 9.6k @ 0.9999.  fw=16/8 are the
+    # measured optima at Ktol-hit parity (>= 0.998 everywhere).
+    fw_default = 8 if strategy == "mehrotra" else 16
     fw = int(os.environ.get("BENCH_FIRST_WAVE", fw_default))
     wv = int(os.environ.get("BENCH_WAVE", 2 * fw))
     solver = make_wave_batch_solver(
@@ -189,7 +189,7 @@ def main():
         mcfg = cfg.replace(mu_strategy="mehrotra")
         msolver = make_wave_batch_solver(
             config=mcfg, family=lambda d: make_qp_problem(d, D, L),
-            first_wave=16, wave=32, min_pad=256)
+            first_wave=8, wave=16, min_pad=256)
         mres = jax.block_until_ready(msolver(x0, data))   # compile+stats
         t0 = time.perf_counter()
         jax.block_until_ready(msolver(x0, data))
