@@ -54,6 +54,7 @@ def _run_mixed_fleet(nA, nB, ref_nums):
                                    rtol=1e-9, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_fleet_mixed_shapes_matches_single_solves():
     """3 distinct (D, M, N) shapes in one fleet; every instance must match
     its own single solve exactly (same bucketing => identical programs for

@@ -32,6 +32,7 @@ def test_mehrotra_converges_reference_problems(num):
     assert spec.distance_to_truth(res.x) <= 1e-3
 
 
+@pytest.mark.slow
 def test_mehrotra_iteration_advantage():
     """On the headline QP family the predictor-corrector must converge in
     materially fewer iterations than the adaptive rule at an equal-or-
