@@ -62,7 +62,7 @@ def ldlt_unblocked(A):
     return lax.fori_loop(0, n, body, (L0, d0), unroll=False)
 
 
-def ldlt_factor(A, block: int = 128, segments: int = 4):
+def ldlt_factor(A, block: int = 128, segments: int = 8):
     """Blocked right-looking LDL^T with a segmented trailing update.
 
     Pads to a multiple of ``block`` with an identity tail (which contributes
@@ -79,8 +79,12 @@ def ldlt_factor(A, block: int = 128, segments: int = 4):
     (every step updates the full height).  Splitting the panel range into
     ``segments`` contiguous chunks, each operating on its STATIC trailing
     submatrix (m shrinks chunk by chunk), cuts that to ~1.4x at
-    segments=4 while adding only ``segments`` loop bodies to the program —
-    measured 1.8x faster at n=4352 on v5e.
+    segments=4 and ~1.2x at segments=8 while adding only ``segments``
+    loop bodies to the program.  v5e factor-only sweep at n=4352 (KKT
+    bench shape): block=128/seg=4: 9.7 TFLOP/s; 128/8: 11.5; 256/4: 2.1
+    (panel exceeds the Pallas panel-kernel bound, falling back to the
+    latency-bound unblocked loop); segments beyond 8 blow up compile
+    time for single-digit gains.
     """
     n = A.shape[0]
     if n <= block:
