@@ -117,11 +117,13 @@ def main():
 
     # first-wave sweep on v5e with the lane-kernel SOC dispatch (waves of
     # 2*fw, B=10k, n=16): adaptive fw=8: 58.8k iters/s @ hit 0.9987;
-    # fw=16: 82.1k @ 0.9993; fw=24: 67.8k @ 0.9987; fw=32: 56.9k @
-    # 0.9996; lockstep: 5.9k @ 0.998.  mehrotra fw=4: 7.1k solves/s;
-    # fw=8: 14.0k @ 0.9997; fw=16: 9.6k @ 0.9999.  fw=16/8 are the
-    # measured optima at Ktol-hit parity (>= 0.998 everywhere).
-    fw_default = 8 if strategy == "mehrotra" else 16
+    # fw=10: 78.7k @ 0.9991; fw=12: 92.7k @ 0.9994; fw=13: 93.7k @
+    # 0.9996; fw=14: 86.3k @ 0.9992; fw=16: 82.9k @ 0.9993; fw=24: 67.8k
+    # @ 0.9987; fw=32: 56.9k @ 0.9996; lockstep: 5.9k @ 0.998.  mehrotra
+    # fw=6: 9.2k solves/s; fw=8: 13.7k @ 0.9997; fw=10: 10.7k @ 0.9999.
+    # fw=13/8 are the measured optima at Ktol-hit parity (>= 0.998
+    # everywhere).
+    fw_default = 8 if strategy == "mehrotra" else 13
     fw = int(os.environ.get("BENCH_FIRST_WAVE", fw_default))
     wv = int(os.environ.get("BENCH_WAVE", 2 * fw))
     solver = make_wave_batch_solver(
