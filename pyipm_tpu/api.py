@@ -223,6 +223,7 @@ class IPM:
         self.kkt = None
         self.fval = None
         self.signal = None
+        self.mu = None           # final barrier value of the last solve
 
     # ------------------------------------------------------------------
     def validate(self):
@@ -306,20 +307,27 @@ class IPM:
         self.lda = np.asarray(res.lda)
         self.fval = float(res.fval)
         self.signal = int(res.signal)
-        self.kkt = self.KKT(self.x, self.s, self.lda, mu=float(res.mu))
+        self.mu = float(res.mu)
+        self.kkt = self.KKT(self.x, self.s, self.lda)
         self._report(res)
         return self.x, self.s, self.lda, self.fval, self.kkt
 
     # ------------------------------------------------------------------
     def KKT(self, x, s, lda, mu=None):
         """First-order KKT conditions at (x, s, lda) (reference IPM.KKT,
-        pyipm.py:958-991).  ``mu`` defaults to the configured barrier init
-        (the reference evaluates at the current device value)."""
+        pyipm.py:958-991).  ``mu`` defaults to the CURRENT barrier value —
+        the final mu of the last solve when one has run, else the
+        configured initial value — matching the reference, which evaluates
+        at the current device mu (pyipm.py:968)."""
         if self.problem is None:
             self.nvar = int(np.asarray(x).size)
             self.compile()
         if mu is None:
-            mu = self.config.mu if self.problem.nineq else self.config.Ktol
+            if self.mu is not None:
+                mu = self.mu
+            else:
+                mu = (self.config.mu if self.problem.nineq
+                      else self.config.Ktol)
         import jax.numpy as jnp
         dtype = self.config.np_dtype
         blocks = kkt_mod.kkt_blocks(

@@ -188,18 +188,34 @@ def lbfgs_direction(problem: Problem, cfg, state: LBFGSState,
     BT_invA_B = BT_invA @ B                                  # (M+N, M+N)
 
     if M:
-        # regularize an ill-conditioned eq block (pyipm.py:1106-1113)
-        w = jnp.linalg.eigvalsh(BT_invA_B[:M, :M])
-        aw = jnp.abs(w)
-        rcond = jnp.min(aw) / jnp.maximum(jnp.max(aw), jnp.finfo(dtype).tiny)
+        # regularize an ill-conditioned eq block (pyipm.py:1106-1113).
+        # The reference's rcond test is a dense eigendecomposition EVERY
+        # iteration; an unpivoted LDL^T gives the same min|.|/max|.| signal
+        # from the pivots (Sylvester congruence — the block is
+        # Je^T diag(1/Adiag) Je, PSD, so unpivoted is stable) at
+        # factorization cost instead of eigensolver cost.
+        from pyipm_tpu.ops.linalg import ldlt_factor as _ldlt
+
+        _, dpiv = _ldlt(BT_invA_B[:M, :M], block=cfg.ldlt_block)
+        ad = jnp.abs(dpiv)
+        rcond = jnp.min(ad) / jnp.maximum(jnp.max(ad), jnp.finfo(dtype).tiny)
+        finite = jnp.all(jnp.isfinite(dpiv))
         reg = _eq_reg_term(mu, cfg.reg_coef, cfg.eta, cfg.beta, dtype)
-        bump = jnp.where(rcond <= eps_, reg, jnp.zeros((), dtype))
+        bump = jnp.where((rcond <= eps_) | (~finite), reg,
+                         jnp.zeros((), dtype))
         BT_invA_B = BT_invA_B.at[:M, :M].add(bump * jnp.eye(M, dtype=dtype))
 
+    # factor the (M+N, M+N) block ONCE for the three solves below (the
+    # reference re-solves from scratch each time, pyipm.py:1115-1148)
+    _lu, _piv = jax.scipy.linalg.lu_factor(BT_invA_B)
+
+    def _solve_mid(rhs):
+        return jax.scipy.linalg.lu_solve((_lu, _piv), rhs)
+
     v00 = BT_invA @ g1
-    v01 = jnp.linalg.solve(BT_invA_B, v00)
+    v01 = _solve_mid(v00)
     v02 = g1 / Adiag - BT_invA.T @ v01
-    v03 = -jnp.linalg.solve(BT_invA_B, g2)
+    v03 = -_solve_mid(g2)
     v04 = -BT_invA.T @ v03
     Zg = jnp.concatenate([v02 + v04, v01 + v03])             # (D+2N+M,)
 
@@ -209,7 +225,7 @@ def lbfgs_direction(problem: Problem, cfg, state: LBFGSState,
         W = jnp.concatenate([W, jnp.zeros((N, 2 * m), dtype)], axis=0)
 
     BT_gmaW = (B.T @ W) / zeta
-    X00 = -jnp.linalg.solve(BT_invA_B, BT_gmaW)              # (M+N, 2m)
+    X00 = -_solve_mid(BT_gmaW)                               # (M+N, 2m)
     X01 = W / zeta + BT_invA.T @ X00                         # (D+N, 2m)
     X02 = W.T @ X01                                          # (2m, 2m)
     Minv = _padded_middle(SS, Lm, Dv, valid, zeta)

@@ -108,6 +108,162 @@ def _all_le(kkt, tol):
     return jnp.all(kkt <= tol)
 
 
+class LoopEngine(NamedTuple):
+    run: callable                # SolverState -> SolverState (to completion)
+    run_budget: callable         # (SolverState, max_new_iters) -> SolverState
+
+
+def make_loop_engine(cfg, *, inner_iter, f_val, centrality_stats,
+                     has_ineq: bool, unconstrained: bool = False,
+                     dtype) -> LoopEngine:
+    """The flattened outer/inner interior-point loop over a
+    :class:`SolverState` carry, generic over the iteration body.
+
+    This is THE loop of the framework: the single-device solver
+    (:func:`make_solver`) and the distributed Schur solver
+    (parallel/schur.py) both instantiate it, so muTol inner exits, Ftol
+    placement, the signal taxonomy, the mu schedule and pause/resume
+    (``run_budget``) are implemented exactly once.  The reference nests two
+    host-side loops (outer niter x inner miter, pyipm.py:1658, 1672);
+    here they are FLATTENED into one while_loop whose body advances the
+    solve by exactly one phase step — either the top-of-outer convergence
+    check, or one inner iteration (with the outer epilogue fused into the
+    step that finishes an inner loop).  Every piece of loop position lives
+    in the SolverState carry (outer/inner/inner_done/in_inner), so a solve
+    can be PAUSED after any bounded number of iterations and RESUMED
+    bit-exactly — the mechanism behind wave-compacted batching
+    (parallel/batch.py), which retires converged instances instead of
+    paying the vmap straggler tax.
+
+    Args:
+      inner_iter: ``SolverState -> SolverState`` — one primal-dual
+        iteration (direction, line search, residuals); must bump
+        ``iter_count`` itself.
+      f_val: ``SolverState -> scalar`` — the (globally reduced) objective,
+        for the Ftol test.
+      centrality_stats: ``SolverState -> (s_dot_li, min_s_li, n_total)``
+        — globally reduced inputs of the centrality mu update
+        (reference pyipm.py:1804-1814); only called when ``has_ineq``.
+      has_ineq: whether the problem has inequality constraints (selects
+        the reference's Ftol placement and enables the barrier schedule).
+    """
+    def outer_start(st: SolverState) -> SolverState:
+        # top-of-outer convergence check (pyipm.py:1663-1667)
+        conv = _all_le(st.kkt, jnp.asarray(cfg.Ktol, dtype))
+
+        def on_conv(st):
+            return st._replace(signal=_i32(1), outer=st.outer + 1)
+
+        def enter(st):
+            if cfg.verbosity > 0 and has_ineq:
+                jax.debug.print("OUTER ITERATION {}", st.outer + 1)
+            return st._replace(inner=_i32(0),
+                               inner_done=jnp.zeros((), jnp.bool_),
+                               in_inner=jnp.ones((), jnp.bool_))
+
+        return lax.cond(conv, on_conv, enter, st)
+
+    def outer_epilogue(st: SolverState) -> SolverState:
+        """Everything the reference does after the inner loop exits
+        (pyipm.py:1776-1814)."""
+        if cfg.Ftol is not None and has_ineq:
+            # per-outer Ftol test with inequality constraints
+            # (pyipm.py:1776-1789)
+            def ftol_chk(st):
+                f_new = f_val(st)
+                hit = jnp.abs(st.f_past - f_new) <= abs(cfg.Ftol)
+                return st._replace(
+                    signal=jnp.where(hit, _i32(2), st.signal),
+                    f_past=f_new)
+
+            st = lax.cond(st.signal != -2, ftol_chk, lambda s_: s_, st)
+
+        # max-iterations signal at the end of the last outer iteration
+        # (pyipm.py:1795-1802)
+        is_last = st.outer >= cfg.niter - 1
+        st = st._replace(signal=jnp.where((st.signal == 0) & is_last,
+                                          _i32(-1), st.signal))
+
+        if has_ineq and cfg.mu_strategy != "mehrotra":
+            # adaptive centrality-based barrier update (pyipm.py:1804-1814;
+            # shared formula, core/updates.py).  Under 'mehrotra' the
+            # barrier evolves per-iteration inside the direction solve.
+            def mu_upd(st):
+                sl, smin, ntot = centrality_stats(st)
+                mu_new = centrality_mu(sl, smin, ntot,
+                                       float(np.finfo(dtype).eps),
+                                       cfg.mu_floor, dtype)
+                return st._replace(mu=mu_new)
+
+            st = lax.cond(st.signal == 0, mu_upd, lambda s_: s_, st)
+        return st._replace(outer=st.outer + 1,
+                           in_inner=jnp.zeros((), jnp.bool_))
+
+    def outer_epilogue_scoped(st: SolverState) -> SolverState:
+        with jax.named_scope("ipm-outer-epilogue"):
+            return outer_epilogue(st)
+
+    def inner_phase(st: SolverState) -> SolverState:
+        # one step of the inner loop (cond at pyipm.py:1672 + body)
+        active = ((st.inner < cfg.miter) & (st.signal == 0)
+                  & (~st.inner_done))
+
+        def step(st):
+            # muTol inner exit (pyipm.py:1676-1682)
+            muTol = jnp.maximum(jnp.asarray(cfg.Ktol, dtype), st.mu)
+            conv = _all_le(st.kkt, muTol)
+
+            def on_conv(st):
+                # fully UNCONSTRAINED solves have mu pinned at Ktol, so the
+                # muTol exit IS Ktol convergence — set signal=1 here;
+                # constrained solves re-check at the next outer top
+                if unconstrained:
+                    st = st._replace(signal=_i32(1))
+                return st._replace(inner_done=jnp.ones((), jnp.bool_))
+
+            def on_run(st):
+                st = inner_iter(st)
+                return st._replace(inner=st.inner + 1)
+
+            return lax.cond(conv, on_conv, on_run, st)
+
+        st = lax.cond(active, step, lambda s_: s_, st)
+
+        # inner loop finished (by muTol exit, miter, or a signal) -> fuse
+        # the outer epilogue into this same step
+        done = (st.inner >= cfg.miter) | (st.signal != 0) | st.inner_done
+        return lax.cond(done, outer_epilogue_scoped, lambda s_: s_, st)
+
+    def flat_body(st: SolverState) -> SolverState:
+        return lax.cond(st.in_inner, inner_phase, outer_start, st)
+
+    def run(st: SolverState) -> SolverState:
+        def cond_fn(st):
+            return (st.outer < cfg.niter) & (st.signal == 0)
+
+        return lax.while_loop(cond_fn, flat_body, st)
+
+    def run_budget(st: SolverState, max_new_iters) -> SolverState:
+        """Advance the solve by at most ``max_new_iters`` additional inner
+        iterations, then pause.  The returned state resumes exactly (call
+        again, or finish with ``run``); ``signal == 0`` means paused."""
+        limit = st.iter_count + jnp.asarray(max_new_iters, jnp.int32)
+
+        def cond_fn(c):
+            st, lim = c
+            return ((st.outer < cfg.niter) & (st.signal == 0)
+                    & (st.iter_count < lim))
+
+        def body_fn(c):
+            st, lim = c
+            return flat_body(st), lim
+
+        st, _ = lax.while_loop(cond_fn, body_fn, (st, limit))
+        return st
+
+    return LoopEngine(run=run, run_budget=run_budget)
+
+
 def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
                 with_s0: bool = False, with_lda0: bool = False,
                 jit: bool = True):
@@ -210,10 +366,14 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
                 "|dL/dx| = {}, |dL/ds| = {}, |ce| = {}, |ci-s| = {}",
                 st.kkt[0], st.kkt[1], st.kkt[2], st.kkt[3])
 
-        if cfg.lbfgs:
-            dz, st = direction_lbfgs(st)
-        else:
-            dz, st = direction_exact(st)
+        # phase-labeled scopes (SURVEY.md §5): --profile traces show
+        # ipm/direction, ipm/line-search, ipm/kkt-residual instead of raw
+        # XLA fusions
+        with jax.named_scope("ipm-direction"):
+            if cfg.lbfgs:
+                dz, st = direction_lbfgs(st)
+            else:
+                dz, st = direction_exact(st)
 
         if ncon:
             # sign convention flip for the multiplier block (pyipm.py:1723-1725)
@@ -242,8 +402,9 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
             # merit line search / signal taxonomy must absorb or flag it
             dz = dz + cfg.inject_solve_fault * jnp.roll(dz, 1)
 
-        res = search(problem, cfg, st.x, st.s, st.lda, dz, a_s, a_l,
-                     st.mu, st.nu, st.signal)
+        with jax.named_scope("ipm-line-search"):
+            res = search(problem, cfg, st.x, st.s, st.lda, dz, a_s, a_l,
+                         st.mu, st.nu, st.signal)
         if cfg.verbosity > 2:
             # line-search notices (reference pyipm.py:1485-1487, 1496-1500)
             lax.cond(res.soc,
@@ -257,7 +418,9 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
                      lambda: None)
         st = st._replace(x=res.x, s=res.s, lda=res.lda, signal=res.signal,
                          alpha=res.alpha, iter_count=st.iter_count + 1)
-        st = st._replace(kkt=K.kkt_norms(problem, st.x, st.s, st.lda, st.mu))
+        with jax.named_scope("ipm-kkt-residual"):
+            st = st._replace(
+                kkt=K.kkt_norms(problem, st.x, st.s, st.lda, st.mu))
 
         if cfg.nan_guard:
             # in-loop sanitizer (SURVEY.md §5; absent in the reference):
@@ -298,121 +461,23 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
         return st
 
     # ------------------------------------------------------------------
-    # The reference nests two host-side loops (outer niter x inner miter,
-    # pyipm.py:1658, 1672).  Here they are FLATTENED into one while_loop
-    # whose body advances the solve by exactly one phase step — either the
-    # top-of-outer convergence check, or one inner iteration (with the
-    # outer epilogue fused into the step that finishes an inner loop).
-    # Every piece of loop position lives in the SolverState carry
-    # (outer/inner/inner_done/in_inner), so a solve can be PAUSED after any
-    # bounded number of iterations and RESUMED bit-exactly — the mechanism
-    # behind wave-compacted batching (parallel/batch.py), which retires
-    # converged instances instead of paying the vmap straggler tax.
-    def outer_start(st: SolverState) -> SolverState:
-        # top-of-outer convergence check (pyipm.py:1663-1667)
-        conv = _all_le(st.kkt, jnp.asarray(cfg.Ktol, dtype))
+    # NOTE the inner-loop convergence subtlety preserved by the engine's
+    # has_ineq flag: the UNCONSTRAINED/eq-only muTol exit sets signal=1
+    # directly (ncon == 0 has mu pinned at Ktol, pyipm.py:1606), while the
+    # inequality case re-checks at the outer level.  The shared loop (muTol
+    # inner exit, Ftol placement, signals, mu schedule, pause/resume) lives
+    # in :func:`make_loop_engine` — one implementation for this solver and
+    # the distributed Schur solver.
+    def centrality_stats(st: SolverState):
+        li = st.lda[M:]
+        return st.s @ li, jnp.min(st.s * li), N
 
-        def on_conv(st):
-            return st._replace(signal=_i32(1), outer=st.outer + 1)
-
-        def enter(st):
-            if cfg.verbosity > 0 and N:
-                jax.debug.print("OUTER ITERATION {}", st.outer + 1)
-            return st._replace(inner=_i32(0),
-                               inner_done=jnp.zeros((), jnp.bool_),
-                               in_inner=jnp.ones((), jnp.bool_))
-
-        return lax.cond(conv, on_conv, enter, st)
-
-    def outer_epilogue(st: SolverState) -> SolverState:
-        """Everything the reference does after the inner loop exits
-        (pyipm.py:1776-1814)."""
-        if cfg.Ftol is not None and N > 0:
-            # per-outer Ftol test with inequality constraints
-            # (pyipm.py:1776-1789)
-            def ftol_chk(st):
-                f_new = problem.f_val(st.x)
-                hit = jnp.abs(st.f_past - f_new) <= abs(cfg.Ftol)
-                return st._replace(
-                    signal=jnp.where(hit, _i32(2), st.signal),
-                    f_past=f_new)
-
-            st = lax.cond(st.signal != -2, ftol_chk, lambda s_: s_, st)
-
-        # max-iterations signal at the end of the last outer iteration
-        # (pyipm.py:1795-1802)
-        is_last = st.outer >= cfg.niter - 1
-        st = st._replace(signal=jnp.where((st.signal == 0) & is_last,
-                                          _i32(-1), st.signal))
-
-        if N and cfg.mu_strategy != "mehrotra":
-            # adaptive centrality-based barrier update (pyipm.py:1804-1814;
-            # shared formula, core/updates.py).  Under 'mehrotra' the
-            # barrier evolves per-iteration inside the direction solve.
-            def mu_upd(st):
-                li = st.lda[M:]
-                mu_new = centrality_mu(st.s @ li, jnp.min(st.s * li), N,
-                                       eps, cfg.mu_floor, dtype)
-                return st._replace(mu=mu_new)
-
-            st = lax.cond(st.signal == 0, mu_upd, lambda s_: s_, st)
-        return st._replace(outer=st.outer + 1,
-                           in_inner=jnp.zeros((), jnp.bool_))
-
-    def inner_phase(st: SolverState) -> SolverState:
-        # one step of the inner loop (cond at pyipm.py:1672 + body)
-        active = ((st.inner < cfg.miter) & (st.signal == 0)
-                  & (~st.inner_done))
-
-        def step(st):
-            # muTol inner exit (pyipm.py:1676-1682)
-            muTol = jnp.maximum(jnp.asarray(cfg.Ktol, dtype), st.mu)
-            conv = _all_le(st.kkt, muTol)
-
-            def on_conv(st):
-                if ncon == 0:
-                    st = st._replace(signal=_i32(1))
-                return st._replace(inner_done=jnp.ones((), jnp.bool_))
-
-            def on_run(st):
-                st = inner_iter(st)
-                return st._replace(inner=st.inner + 1)
-
-            return lax.cond(conv, on_conv, on_run, st)
-
-        st = lax.cond(active, step, lambda s_: s_, st)
-
-        # inner loop finished (by muTol exit, miter, or a signal) -> fuse
-        # the outer epilogue into this same step
-        done = (st.inner >= cfg.miter) | (st.signal != 0) | st.inner_done
-        return lax.cond(done, outer_epilogue, lambda s_: s_, st)
-
-    def flat_body(st: SolverState) -> SolverState:
-        return lax.cond(st.in_inner, inner_phase, outer_start, st)
-
-    def run(st: SolverState) -> SolverState:
-        def cond_fn(st):
-            return (st.outer < cfg.niter) & (st.signal == 0)
-
-        return lax.while_loop(cond_fn, flat_body, st)
-
-    def run_budget(st: SolverState, max_new_iters) -> SolverState:
-        """Advance the solve by at most ``max_new_iters`` additional inner
-        iterations, then pause.  The returned state resumes exactly (call
-        again, or finish with ``run``); ``signal == 0`` means paused."""
-        limit = st.iter_count + jnp.asarray(max_new_iters, jnp.int32)
-
-        def cond_fn(c):
-            st, lim = c
-            return ((st.outer < cfg.niter) & (st.signal == 0)
-                    & (st.iter_count < lim))
-
-        def body_fn(c):
-            st, lim = c
-            return flat_body(st), lim
-
-        st, _ = lax.while_loop(cond_fn, body_fn, (st, limit))
-        return st
+    engine = make_loop_engine(
+        cfg, inner_iter=inner_iter,
+        f_val=lambda st: problem.f_val(st.x),
+        centrality_stats=centrality_stats,
+        has_ineq=N > 0, unconstrained=ncon == 0, dtype=dtype)
+    run, run_budget = engine.run, engine.run_budget
 
     # ------------------------------------------------------------------
     def init_state(x0, s0=None, lda0=None) -> SolverState:

@@ -560,7 +560,14 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
     def scaled_solve(facs, rhs):
         """Solve H_f x = rhs via the scaled factors: x = D y,
         (D H_f D) y = D rhs."""
-        return dsc * fsolve(facs, dsc * rhs)
+        with jax.named_scope("ipm-kkt-solve"):
+            return dsc * fsolve(facs, dsc * rhs)
+
+    _factor_raw = factor
+
+    def factor(Hm):
+        with jax.named_scope("ipm-kkt-factor"):
+            return _factor_raw(Hm)
 
     facs0 = factor(Hs)
     d0 = pivots(facs0)
@@ -698,14 +705,34 @@ def lstsq_minnorm(A, b):
         Greg = G + reg * scale * jnp.eye(k, dtype=dtype)
         solve = sym_solver(Greg)
         y = solve(rhs)
-        rn = jnp.linalg.norm(rhs - G @ y)
-        for _ in range(3):
-            r = rhs - G @ y
+        r = rhs - G @ y
+        rn = jnp.linalg.norm(r)
+
+        # The residual is CARRIED between steps (one matvec per step, not
+        # two), and a rejected step ends the loop: with y/r unchanged the
+        # next step would deterministically recompute and reject the
+        # identical candidate, so ``stalled`` exits instead of wasting
+        # solve+matvec work — this runs every batched SOC iteration (under
+        # vmap lax.cond takes both branches).
+        def cond_fn(c):
+            i, _, _, _, stalled = c
+            return (i < 3) & ~stalled
+
+        def body_fn(c):
+            i, y, r, rn, _ = c
             y1 = y + solve(r)
-            rn1 = jnp.linalg.norm(rhs - G @ y1)
+            r1 = rhs - G @ y1
+            rn1 = jnp.linalg.norm(r1)
             better = rn1 < rn
             y = jnp.where(better, y1, y)
+            r = jnp.where(better, r1, r)
             rn = jnp.where(better, rn1, rn)
+            return i + 1, y, r, rn, ~better
+
+        _, y, _, _, _ = lax.while_loop(
+            cond_fn, body_fn,
+            (jnp.zeros((), jnp.int32), y, r, rn,
+             jnp.zeros((), jnp.bool_)))
         return y
 
     if m <= n:

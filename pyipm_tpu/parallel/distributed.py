@@ -24,6 +24,20 @@ import jax
 import numpy as np
 
 
+def _apply_local_devices() -> None:
+    """Honor the launcher's PYIPM_LOCAL_DEVICES contract: when set (and the
+    XLA backend has not been touched yet), force that many virtual CPU host
+    devices.  spawn_local also sets XLA_FLAGS directly for its children, so
+    this matters for cluster-mode workers launched by hand."""
+    from pyipm_tpu.parallel import launch as _l
+
+    local = os.environ.get(_l.ENV_LOCAL_DEVICES)
+    if local is None:
+        return
+    os.environ["XLA_FLAGS"] = _l._set_device_count_flag(
+        os.environ.get("XLA_FLAGS", ""), int(local))
+
+
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
@@ -44,8 +58,19 @@ def initialize(coordinator_address: Optional[str] = None,
 
         coordinator_address = os.environ.get(_l.ENV_COORD)
         if coordinator_address is not None:
-            num_processes = int(os.environ[_l.ENV_NPROC])
-            process_id = int(os.environ[_l.ENV_PROC_ID])
+            nproc = os.environ.get(_l.ENV_NPROC)
+            pid = os.environ.get(_l.ENV_PROC_ID)
+            if nproc is None or pid is None:
+                raise RuntimeError(
+                    f"incomplete launcher rendezvous environment: "
+                    f"{_l.ENV_COORD} is set but "
+                    f"{_l.ENV_NPROC}/{_l.ENV_PROC_ID} "
+                    f"{'are' if nproc is None and pid is None else 'is'} "
+                    f"missing; all three must be set together "
+                    f"(see pyipm_tpu.parallel.launch.rendezvous_env)")
+            num_processes = int(nproc)
+            process_id = int(pid)
+        _apply_local_devices()
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()

@@ -51,6 +51,18 @@ ENV_PROC_ID = "PYIPM_PROCESS_ID"
 ENV_LOCAL_DEVICES = "PYIPM_LOCAL_DEVICES"
 
 
+def _set_device_count_flag(flags: str, n: int) -> str:
+    """Set --xla_force_host_platform_device_count=n in an XLA_FLAGS string,
+    REPLACING any existing value (an inherited test-env flag would otherwise
+    silently win over the launcher's --local-devices)."""
+    import re
+    pat = r"--xla_force_host_platform_device_count=\d+"
+    new = f"--xla_force_host_platform_device_count={n}"
+    if re.search(pat, flags):
+        return re.sub(pat, new, flags)
+    return (flags + " " + new).strip()
+
+
 def _free_port() -> int:
     with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
         s.bind(("localhost", 0))
@@ -87,11 +99,8 @@ def spawn_local(num_processes: int, argv: Sequence[str], *,
         env.update(rendezvous_env(coord, num_processes, i, local_devices))
         if cpu:
             env["JAX_PLATFORMS"] = "cpu"
-            flags = env.get("XLA_FLAGS", "")
-            if "xla_force_host_platform_device_count" not in flags:
-                env["XLA_FLAGS"] = (
-                    flags + " --xla_force_host_platform_device_count="
-                    f"{local_devices}").strip()
+            env["XLA_FLAGS"] = _set_device_count_flag(
+                env.get("XLA_FLAGS", ""), local_devices)
         procs.append(subprocess.Popen(
             [sys.executable, *argv], env=env,
             stdout=None if i == 0 else subprocess.DEVNULL,
@@ -99,6 +108,7 @@ def spawn_local(num_processes: int, argv: Sequence[str], *,
     import time as _time
 
     code = 0
+    timed_out = False
     deadline = None if timeout is None else _time.monotonic() + timeout
     try:
         # poll ALL workers round-robin: the first nonzero exit fails the
@@ -116,6 +126,7 @@ def spawn_local(num_processes: int, argv: Sequence[str], *,
                     break
             if deadline is not None and _time.monotonic() > deadline:
                 code = 124
+                timed_out = True
             _time.sleep(0.05)
     finally:
         for p in procs:       # exact PIDs we started — never by pattern
@@ -123,7 +134,12 @@ def spawn_local(num_processes: int, argv: Sequence[str], *,
                 p.kill()
         for p in procs:
             p.wait()
-    if code != 0:
+    if timed_out:
+        # workers were killed in the finally block (returncode -9); deriving
+        # a failed list from those would misattribute the timeout to them
+        print(f"[launch] FAILED: timed out after {timeout}s; workers "
+              f"terminated (exit {code})", file=sys.stderr)
+    elif code != 0:
         failed = [i for i, p in enumerate(procs) if p.returncode not in (0, None)]
         print(f"[launch] FAILED: worker(s) {failed} exited nonzero; "
               f"job terminated (exit {code})", file=sys.stderr)

@@ -35,6 +35,13 @@ def main():
     dist.initialize()                  # env-driven: launcher contract
     nproc = jax.process_count()
     assert nproc > 1, "launcher did not form a cluster"
+    from pyipm_tpu.parallel.launch import ENV_LOCAL_DEVICES
+    want = os.environ.get(ENV_LOCAL_DEVICES)
+    if want is not None:
+        # --local-devices must win over any inherited XLA_FLAGS device
+        # count (spawn_local REPLACES the flag; see parallel/launch.py)
+        assert jax.local_device_count() == int(want), (
+            jax.local_device_count(), want)
     mesh = dist.global_batch_mesh()
 
     B = 2 * mesh.devices.size

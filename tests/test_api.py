@@ -87,3 +87,23 @@ def test_lbfgs_facade():
             Ftol=1e-8, lbfgs=4, verbosity=-1)
     x, s, lda, fval, kkt = p.solve()
     assert spec.distance_to_truth(x) <= 1e-3
+
+
+def test_kkt_default_mu_is_final_mu_after_solve():
+    """Standalone KKT() after a solve must evaluate at the FINAL barrier
+    value, matching the reference which uses the current device mu
+    (reference pyipm.py:968) — not the constructor initial mu."""
+    spec = REFERENCE_PROBLEMS[7]
+    rng = np.random.default_rng(42)
+    p = IPM(x0=spec.sample_x0(rng), f=spec.f, ce=spec.ce, ci=spec.ci,
+            Ftol=1e-8, verbosity=-1)
+    x, s, lda, fval, kkt = p.solve()
+    assert p.mu is not None and p.mu < p.config.mu  # barrier decreased
+    # default-mu call reproduces the solve()'s own kkt (evaluated at final
+    # mu); an explicit initial-mu call must differ in the complementarity
+    # block for this inequality-constrained problem
+    k_default = p.KKT(x, s, lda)
+    for a, b in zip(k_default, kkt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    k_init = p.KKT(x, s, lda, mu=p.config.mu)
+    assert not np.allclose(np.asarray(k_init[1]), np.asarray(kkt[1]))

@@ -20,9 +20,8 @@ WORKER = os.path.join(REPO, "tests", "launch_worker.py")
 
 
 def _spawn(extra=(), **kw):
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)        # launcher sets the device count
-    env["PYTHONPATH"] = REPO
+    # spawn_local REPLACES any inherited device-count flag (conftest forces
+    # 8 virtual devices into XLA_FLAGS; workers must see local_devices=2)
     os.environ["PYTHONPATH"] = REPO   # inherited by spawn_local children
     return spawn_local(2, [WORKER, *extra], local_devices=2,
                        timeout=300, **kw)

@@ -160,3 +160,27 @@ def test_profile_solve_and_iteration_report():
     rep = iteration_report(res)
     assert rep.count("\n") >= int(res.iter_count)
     assert "mu" in rep
+
+
+def test_named_scopes_in_lowered_hlo():
+    """The hot-path phases are named-scope annotated (SURVEY.md §5): the
+    lowered HLO carries ipm-direction / ipm-line-search / ipm-kkt-residual
+    (and, through reg_solve_kkt, ipm-kkt-factor / ipm-kkt-solve) so
+    --profile traces are phase-labeled instead of raw XLA fusions."""
+    import jax
+
+    from pyipm_tpu.core.solver import make_solver
+
+    spec = REFERENCE_PROBLEMS[7]
+    prob = spec.make()
+    rng = np.random.default_rng(42)
+    fn = make_solver(prob, IPMConfig(verbosity=0), jit=False)
+    txt = jax.jit(fn).lower(spec.sample_x0(rng)).as_text(debug_info=True)
+    for scope in ("ipm-direction", "ipm-line-search", "ipm-kkt-residual",
+                  "ipm-outer-epilogue"):
+        assert scope in txt, f"missing named scope {scope}"
+    # the factor/solve scopes live inside reg_solve_kkt (ldlt method);
+    # problem 7 is small so they route through the lane-kernel wrappers,
+    # still inside the ipm-kkt-factor scope
+    assert "ipm-kkt-factor" in txt
+    assert "ipm-kkt-solve" in txt
