@@ -43,6 +43,22 @@ def main():
           f"kkt={np.asarray(res.kkt)}")
     assert int(res.signal) in (1, 2)
 
+    # --- full generality: nonlinear per-block inequalities + equalities
+    # and a NONLINEAR coupling cc(sum_k g_k(x_k)) = 0 through the bordered
+    # Schur complement (BlockNLP / make_block_solver)
+    from pyipm_tpu.parallel.schur import (
+        make_block_solver, sample_block_general,
+    )
+
+    gspec, gtheta, gccdata, gx0 = sample_block_general(
+        jax.random.key(1), K, 3, me=1, ni=2, p=2, mc=1,
+        dtype=jax.numpy.float32)
+    gfn = make_block_solver(gspec, mesh, cfg, axis="model")
+    gres = gfn(gx0, gtheta, ccdata=gccdata)
+    print(f"general block NLP (nonlinear coupling): "
+          f"signal={int(gres.signal)}, kkt={np.asarray(gres.kkt)}")
+    assert int(gres.signal) in (1, 2)
+
 
 if __name__ == "__main__":
     main()

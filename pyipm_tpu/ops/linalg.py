@@ -634,13 +634,66 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
 
     facs, delta_new, retries, Hf, applied_shifts = lax.cond(
         ~ok0, fix, keep, (Hs, delta, facs0))
-    dz = scaled_solve(facs, g)
-    for _ in range(ir_steps):
-        r = g - Hf @ dz
-        dz_new = dz + scaled_solve(facs, r)
-        r_new = g - Hf @ dz_new
-        better = jnp.linalg.norm(r_new) < jnp.linalg.norm(r)
-        dz = jnp.where(better, dz_new, dz)
+
+    def solve_refined(facs_, Hf_, rhs):
+        """Cached-factor solve + guarded iterative refinement; returns
+        (solution, final residual norm)."""
+        y = scaled_solve(facs_, rhs)
+        rn = jnp.linalg.norm(rhs - Hf_ @ y)
+        for _ in range(max(ir_steps, 1)):
+            r = rhs - Hf_ @ y
+            y_new = y + scaled_solve(facs_, r)
+            r_new = rhs - Hf_ @ y_new
+            rn_new = jnp.linalg.norm(r_new)
+            better = rn_new < rn
+            y = jnp.where(better, y_new, y)
+            rn = jnp.where(better, rn_new, rn)
+        return y, rn
+
+    dz, rn = solve_refined(facs, Hf, g)
+
+    # ------------------------------------------------------------------
+    # Residual gate (adversarial robustness): an UNPIVOTED LDL^T with a
+    # nearly-singular leading block can pass the inertia/conditioning
+    # tests with finite pivots yet suffer catastrophic element growth —
+    # backward error O(eps/pivot^2) instead of O(eps) — producing a
+    # direction the line search must then reject.  Detect it from the
+    # normwise backward error of the refined solve and escalate the
+    # primal-block shift (the reference's own remedy space, reghess
+    # pyipm.py:1390-1403): delta ~ sqrt(eps)*|H| bounds the growth at the
+    # tiny pivot.  Never triggers on stable factorizations (backward
+    # error ~ eps << sqrt(eps) even for ill-conditioned KKT systems).
+    gate_tol = jnp.sqrt(eps)
+    Hnorm = jnp.linalg.norm(Hf)
+    eq_applied0 = applied_shifts[1]
+
+    def backward_err(rn_, dz_):
+        return rn_ / (Hnorm * jnp.linalg.norm(dz_)
+                      + jnp.linalg.norm(g)
+                      + jnp.asarray(jnp.finfo(dtype).tiny, dtype))
+
+    def gate_cond(c):
+        dlt, _, _, dz_, rn_, t = c
+        return (backward_err(rn_, dz_) > gate_tol) & (t < max_retries)
+
+    def gate_body(c):
+        dlt, facs_, Hf_, dz_, rn_, t = c
+        dlt = jnp.where(dlt == 0, delta0, dlt) * 10.0
+        Hb_ = Hs - eq_applied0 * jnp.diag((dsc * dsc) * eeq)
+        f_new = factor(Hb_ + dlt * jnp.diag(shift_diag))
+        Hf_new = (H - eq_applied0 * jnp.diag(eeq) + dlt * jnp.diag(ex))
+        dz_new, rn_new = solve_refined(f_new, Hf_new, g)
+        return dlt, f_new, Hf_new, dz_new, rn_new, t + 1
+
+    d_gate, facs, Hf, dz, rn, t_gate = lax.while_loop(
+        gate_cond, gate_body,
+        (applied_shifts[0], facs, Hf, dz, rn, jnp.zeros((), jnp.int32)))
+    gated = t_gate > 0
+    delta_new = jnp.where(gated, d_gate, delta_new)
+    retries = retries + t_gate
+    applied_shifts = (jnp.where(gated, d_gate, applied_shifts[0]),
+                      eq_applied0)
+
     if want_solver:
         def apply_factors(rhs):
             return scaled_solve(facs, rhs)
@@ -650,6 +703,151 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
         # refining against the regularized system (ops/condensed.py)
         return dz, delta_new, retries, apply_factors, applied_shifts
     return dz, delta_new, retries
+
+
+# ----------------------------------------------------------------------
+def batched_reg_factor(H, delta, mu, *, neq: int, eps: float,
+                       reg_coef: float, eta: float, beta: float,
+                       delta0: float, max_retries: int = 40,
+                       block: int = 128):
+    """Batched inertia-corrected LDL^T factorization — the per-block form
+    of :func:`_reg_solve_ldlt`'s factor phase, used by the distributed
+    Schur path (parallel/schur.py) on its (B, n, n) per-block condensed
+    KKT systems (layout [x-block (n-neq); eq-block (neq)], target inertia
+    = ``neq`` negative pivots; see ops/condensed.py).
+
+    Semantics per block mirror the reference's reghess decision-for-
+    decision (reference pyipm.py:1373-1406): Ruiz equilibration, pivot-sign
+    inertia, eq-block regularization on ill-conditioning, per-block
+    delta-escalation (x10) with warm-started ``delta`` (B,) carried across
+    iterations.  Blocks whose first factorization already has correct
+    inertia keep it — the escalation loop only replaces factors of bad
+    blocks.
+
+    Returns ``(solve_fn, delta_new, retries, applied)``:
+      solve_fn(Bc (B, n, r)) -> (B, n, r) multi-rhs solve against the
+        cached factors in ORIGINAL (unscaled) coordinates;
+      delta_new (B,) warm-start shifts; retries () i32 escalation count;
+      applied = (delta_applied (B,), eq_applied (B,)) — the shifts
+        actually in the factored matrices, for callers refining against
+        the regularized system (the same contract as reg_solve_kkt's
+        ``want_solver`` path).
+    """
+    Bn, n, _ = H.shape
+    dtype = H.dtype
+    d = n - neq
+    idx = jnp.arange(n)
+    ex = (idx < d).astype(dtype)
+    eeq = (idx >= d).astype(dtype)
+    eps_ = jnp.asarray(eps, dtype)
+    delta0_ = jnp.asarray(delta0, dtype)
+    tiny = jnp.finfo(dtype).tiny
+
+    Hs, dsc = jax.vmap(ruiz_scale)(H)                    # (B,n,n), (B,n)
+    shift_diag = (dsc * dsc) * ex[None, :]               # (B, n)
+    eq_diag = (dsc * dsc) * eeq[None, :]
+
+    if n <= 128:
+        from pyipm_tpu.ops.pallas_ldlt import ldlt_factor_small
+
+        def factor(Hm):                                  # (B,n,n)
+            L, dv = jax.vmap(ldlt_factor_small)(Hm)
+            # one log-depth inverse per factorization, reused by every
+            # multi-rhs solve (main rhs + border columns + refinement +
+            # SOC — ~5 solves per factorization)
+            Linv = unit_lower_inverse(L)
+            return L, dv, Linv
+
+        def fsolve(facs, Bc):                            # (B,n,r)
+            _, dv, Linv = facs
+            safe = jnp.where(jnp.abs(dv) > 0, dv, jnp.ones((), dtype))
+            y = jnp.einsum("bij,bjr->bir", Linv, Bc)
+            z = y / safe[..., None]
+            return jnp.einsum("bji,bjr->bir", Linv, z)
+    else:
+        def factor(Hm):
+            L, dv = jax.vmap(lambda A: ldlt_factor(A, block=block))(Hm)
+            return L, dv
+
+        def fsolve(facs, Bc):
+            L, dv = facs
+            safe = jnp.where(jnp.abs(dv) > 0, dv, jnp.ones((), dtype))
+            y = solve_triangular(L, Bc, lower=True, unit_diagonal=True)
+            z = y / safe[..., None]
+            return solve_triangular(
+                jnp.swapaxes(L, -1, -2), z, lower=False,
+                unit_diagonal=True)
+
+    def pivots(facs):
+        return facs[1]
+
+    def inertia_ok(dv):                                  # (B, n) -> (B,)
+        ad = jnp.abs(dv)
+        finite = jnp.all(jnp.isfinite(dv), axis=-1)
+        rcond = (jnp.min(ad, axis=-1)
+                 / jnp.maximum(jnp.max(ad, axis=-1), tiny))
+        neg = jnp.sum(dv < 0, axis=-1)
+        return finite & (rcond > eps_) & (neg == neq)
+
+    def tree_where(mask, a, b):
+        return jax.tree.map(
+            lambda u, v: jnp.where(
+                mask.reshape((-1,) + (1,) * (u.ndim - 1)), u, v), a, b)
+
+    facs0 = factor(Hs)
+    ok0 = inertia_ok(pivots(facs0))
+    zero_b = jnp.zeros((Bn,), dtype)
+
+    if neq:
+        dv0 = pivots(facs0)
+        ad0 = jnp.abs(dv0)
+        rcond0 = (jnp.min(ad0, axis=-1)
+                  / jnp.maximum(jnp.max(ad0, axis=-1), tiny))
+        illcond = (~jnp.all(jnp.isfinite(dv0), axis=-1)) | (rcond0 <= eps_)
+        reg = _eq_reg_term(mu, reg_coef, eta, beta, dtype)
+        eq_shift = jnp.where((~ok0) & illcond, reg, zero_b)  # (B,)
+    else:
+        eq_shift = zero_b
+    Hb = Hs - eq_shift[:, None, None] * jax.vmap(jnp.diag)(eq_diag)
+
+    # per-block warm-started entry shift, only where the inertia is wrong
+    d1 = jnp.where(~ok0,
+                   jnp.where(delta == 0, delta0_,
+                             jnp.maximum(delta / 2, delta0_)),
+                   zero_b)
+
+    def shifted(dlt):
+        return Hb + dlt[:, None, None] * jax.vmap(jnp.diag)(shift_diag)
+
+    facs1 = factor(shifted(d1))
+    facs1 = tree_where(ok0, facs0, facs1)   # good blocks keep 1st factors
+    bad1 = (~ok0) & (~inertia_ok(pivots(facs1)))
+
+    def cond_fn(c):
+        _, _, bad, t = c
+        return jnp.any(bad) & (t < max_retries)
+
+    def body_fn(c):
+        dlt, facs, bad, t = c
+        dlt = jnp.where(bad, dlt * 10.0, dlt)
+        newfacs = factor(shifted(dlt))
+        facs = tree_where(bad, newfacs, facs)
+        bad = bad & (~inertia_ok(pivots(facs)))
+        return dlt, facs, bad, t + 1
+
+    d_f, facs, _, retries = lax.while_loop(
+        cond_fn, body_fn, (d1, facs1, bad1, jnp.zeros((), jnp.int32)))
+
+    # warm start carries forward; applied shift is d_f where fixed, 0 where
+    # the first factorization was kept
+    delta_new = jnp.where(ok0, delta, d_f)
+    delta_applied = jnp.where(ok0, zero_b, d_f)
+
+    def solve_fn(Bc):
+        # original coordinates: x = D (scaled_solve(D rhs)), batched
+        return dsc[..., None] * fsolve(facs, dsc[..., None] * Bc)
+
+    return solve_fn, delta_new, retries, (delta_applied, eq_shift)
 
 
 # ----------------------------------------------------------------------

@@ -1,40 +1,70 @@
-"""Distributed interior-point solve for block-separable NLPs.
+"""Distributed interior-point solve for block-separable NLPs — the
+model-parallel (TP-analog) layer the reference entirely lacks
+(SURVEY.md §2, absence table).
 
-The model-parallel (TP-analog) layer the reference entirely lacks
-(SURVEY.md §2, absence table): a single LARGE structured NLP
+A single LARGE structured NLP with the FULL generality of the reference's
+problem class (min f s.t. ce=0, ci>=0, reference pyipm.py:29-36) in
+block-separable form:
 
-    min   sum_k f_k(x_k)                          x_k in R^d,  k = 1..K
-    s.t.  sum_k A_k x_k = b        (mc coupling equality constraints)
-          ce_k(x_k) = 0            (optional me per-block equalities)
-          x_k >= lb_k              (optional per-block bounds)
+    min   sum_k f_k(x_k)                    x_k in R^d,  k = 1..K
+    s.t.  ce_k(x_k)  = 0                    (me nonlinear per-block eq)
+          ci_k(x_k) >= 0                    (ni nonlinear per-block ineq —
+                                             bounds lb <= x <= ub are the
+                                             special case [x-lb; ub-x])
+          cc( sum_k g_k(x_k) ) = 0          (mc nonlinear COUPLING eq over
+                                             p pooled features u = sum g_k)
 
-is partitioned block-by-block across the ``model`` axis of a device mesh.
-Per iteration the condensed primal-dual KKT system
+partitioned block-by-block across the ``model`` axis of a device mesh.
 
-    [ M_blk   Ac^T ] [du ]   [ rhs ]     M_k = [[H_k + Sigma_k, Ce_k^T],
-    [ Ac       0   ] [dlc] = [ -rc ]            [Ce_k,           0    ]]
+**Iteration machinery is the single-device solver's, not a copy.**  The
+state is the same :class:`~pyipm_tpu.core.solver.SolverState` pytree
+(x/s/delta hold per-block slabs, lda holds the (le, li, lc) multiplier
+triple), the outer/inner loop, muTol exits, Ftol placement, signal
+taxonomy, and mu schedule come from
+:func:`~pyipm_tpu.core.solver.make_loop_engine`, the line search is
+:func:`~pyipm_tpu.core.linesearch.merit_line_search`, the scalar updates
+are core/updates.py, and the per-block factorization is
+:func:`~pyipm_tpu.ops.linalg.batched_reg_factor` — the batched form of
+the condensed path's inertia-corrected LDL^T.  The only distributed-
+specific code is the DIRECTION: a Schur complement over the coupling.
 
-is solved with a **Schur complement over the coupling constraints**:
-each device factors its local block system (Cholesky with diagonal-shift
-retry when me == 0; pivoted LU on the augmented block otherwise), forms
-A_k M_k^{-1} A_k^T, and the small (mc, mc) Schur matrix is reduced with
-``psum`` over the ICI mesh axis; the coupling step dlc is solved
-replicated and back-substituted locally.  Slack/bound multiplier steps
-are recovered elementwise.
+**The direction.**  Per iteration, each device eliminates its local
+blocks' slacks exactly as ops/condensed.py does (Sigma = li/s into the
+primal block, recover ds/dlambda elementwise), factors the per-block
+(d+me)^2 condensed systems M_k with inertia-corrected LDL^T, and the
+coupling is reduced to a replicated (p + mc) BORDER system assembled from
+ICI ``psum``s of small per-block products:
 
-The iteration machinery is the SAME code as the single-device solver
-core: fraction-to-the-boundary (core/linesearch.max_step_ftb with pmin),
-the chunk-vectorized Armijo backtracking and accept/SOC/abort policy
-(core/linesearch.merit_line_search — one line-search implementation
-framework-wide), the nu/mu update formulas (core/updates.py), and the
-reference signal taxonomy — composed here with psum-reduced scalars.
-The second-order correction reuses the iteration's block factorizations
-(the standard same-matrix SOC, Wächter–Biegler; the reference's
-always-lstsq min-norm SOC does not distribute, see core/linesearch.py).
+    full Hessian = blockdiag(W_k) - G^T Hu G    (exact: the coupling term
+        lc.cc(u) has the rank-p cross-block Hessian G^T Hu G with
+        G = [dg_k/dx_k] and Hu = d2/du2 (lc.cc)(u); W_k carries the
+        per-block part including (Jcc^T lc).g_k's Hessian)
+
+    M_k u_k = rhs_k + Ghat_k^T (Hu v - Jcc^T dlc),   v = sum_k G_k dx_k
+
+    [ I - P Hu    P Jcc^T ] [ v  ]   [ pv  ]      P  = psum_k G_k M_k^-1 G_k^T
+    [ Jcc         0       ] [ dlc] = [ g3c ]      pv = psum_k G_k M_k^-1 rhs_k
+
+solved replicated, then back-substituted locally.  For LINEAR coupling
+(cc(u) = u - b, g_k = A_k x_k) this degenerates to the classic Schur
+complement S = psum A_k M_k^-1 A_k^T over the coupling constraints.  Two
+guarded refinement steps against the full (regularized) system reuse the
+cached factors and border LU, mirroring ops/condensed.py.  The
+second-order correction is the same-matrix constraint-only resolve
+(Wächter–Biegler; the reference's always-lstsq min-norm SOC does not
+distribute, see core/linesearch.py).
 
 Everything runs inside one ``shard_map`` over the mesh; control flow is
-replicated (all devices see identical psum-reduced scalars), so the whole
-solve is a single compiled SPMD program with XLA collectives on the ICI.
+replicated (every device sees identical psum-reduced scalars), so the
+whole solve is a single compiled SPMD program with XLA collectives riding
+the ICI.
+
+Deviations from the single-device defaults (documented):
+  - default multipliers are le=0, li=Ktol, lc=0 (the reference's global
+    least-squares init_lambda does not block-decompose; pass lda0 for
+    warm starts / parity runs);
+  - per-iteration debug printing is off (it would interleave across
+    devices); the final signal/kkt/iter_count report everything.
 """
 
 from __future__ import annotations
@@ -49,19 +79,628 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from pyipm_tpu.config import IPMConfig
+from pyipm_tpu.core.lbfgs import lbfgs_init
 from pyipm_tpu.core.linesearch import max_step_ftb, merit_line_search
-from pyipm_tpu.core.updates import centrality_mu, nu_threshold
+from pyipm_tpu.core.solver import (
+    MetricsHistory, SolverState, make_loop_engine,
+)
+from pyipm_tpu.core.updates import nu_threshold
+from pyipm_tpu.ops.linalg import batched_reg_factor
 
 
+# ----------------------------------------------------------------------
+# problem specification
+@dataclasses.dataclass(frozen=True, eq=False)
+class BlockNLP:
+    """Static description of a general block-separable NLP.
+
+    Every callable takes ``(x_k (d,), theta_k)`` with ``theta_k`` the
+    per-block slice of the data pytree; ``cc`` takes ``(u (p,), ccdata)``
+    with ``ccdata`` the replicated coupling data pytree.  Counts are
+    static.  ``hess_blk`` optionally overrides the per-block Lagrangian
+    Hessian ``(x_k, theta_k, le_k, li_k, w) -> (d, d)`` with
+    ``w = Jcc(u)^T lc`` (the analog of the single-device derivative
+    overrides, reference pyipm.py:223-225)."""
+    f_blk: Callable
+    d: int
+    ce_blk: Optional[Callable] = None
+    me: int = 0
+    ci_blk: Optional[Callable] = None
+    ni: int = 0
+    g_blk: Optional[Callable] = None
+    cc: Optional[Callable] = None
+    p: int = 0
+    mc: int = 0
+    hess_blk: Optional[Callable] = None
+
+    def __post_init__(self):
+        assert (self.me > 0) == (self.ce_blk is not None)
+        assert (self.ni > 0) == (self.ci_blk is not None)
+        assert (self.mc > 0) == (self.cc is not None)
+        if self.mc:
+            assert self.g_blk is not None and self.p > 0
+
+
+class BlockResult(NamedTuple):
+    x: jnp.ndarray           # (K, d)
+    s: jnp.ndarray           # (K, ni) slacks
+    le: jnp.ndarray          # (K, me) per-block equality multipliers
+    li: jnp.ndarray          # (K, ni) per-block inequality multipliers
+    lc: jnp.ndarray          # (mc,) coupling multipliers (replicated)
+    fval: jnp.ndarray
+    kkt: jnp.ndarray         # (4,) global KKT norms
+    signal: jnp.ndarray
+    iter_count: jnp.ndarray
+    mu: jnp.ndarray
+    nu: jnp.ndarray
+
+
+def box_ci(lb_key: str = "lb", ub_key: Optional[str] = None):
+    """Convenience per-block inequality for bounds: ci_k = [x - lb] or
+    [x - lb; ub - x], reading the bound arrays from theta_k."""
+    if ub_key is None:
+        return lambda xk, th: xk - th[lb_key]
+    return lambda xk, th: jnp.concatenate(
+        [xk - th[lb_key], th[ub_key] - xk])
+
+
+# ----------------------------------------------------------------------
+def make_block_solver(spec: BlockNLP, mesh,
+                      config: Optional[IPMConfig] = None,
+                      axis: str = "model"):
+    """Build the sharded general block-NLP solve function.
+
+    Returns ``fn(x0 (K, d), theta, ccdata=None, s0=None, le0=None,
+    li0=None, lc0=None) -> BlockResult`` jitted over ``mesh`` with
+    block-sharded inputs/outputs and replicated coupling state.  K must be
+    divisible by the mesh's ``axis`` size.
+    """
+    cfg = config if config is not None else IPMConfig(float_dtype="float32")
+    dtype = cfg.np_dtype
+    d, me, ni, p, mc = spec.d, spec.me, spec.ni, spec.p, spec.mc
+    n = d + me
+    eps = float(np.finfo(dtype).eps)
+    tiny = float(np.finfo(dtype).tiny)
+    guard = float(np.sqrt(np.finfo(dtype).tiny))  # see core.kkt._eps_of
+    has_cc = mc > 0
+    nglob = int(np.prod([s_ for nm, s_ in
+                         zip(mesh.axis_names, mesh.devices.shape)
+                         if nm == axis]))
+
+    # vmapped per-block primitives (the L1 derivative layer of
+    # core/problem.py, per block)
+    f_v = jax.vmap(spec.f_blk)
+    gradf_v = jax.vmap(jax.grad(spec.f_blk))
+    if me:
+        ce_v = jax.vmap(spec.ce_blk)
+        Je_v = jax.vmap(jax.jacfwd(spec.ce_blk))         # (Kl, me, d)
+    if ni:
+        ci_v = jax.vmap(spec.ci_blk)
+        Ji_v = jax.vmap(jax.jacfwd(spec.ci_blk))         # (Kl, ni, d)
+    if has_cc:
+        g_v = jax.vmap(spec.g_blk)
+        G_v = jax.vmap(jax.jacfwd(spec.g_blk))           # (Kl, p, d)
+
+    def lag_blk(xk, th, lek, lik, w):
+        """Per-block Lagrangian with the coupling contracted through
+        w = Jcc(u)^T lc held constant — its Hessian is the per-block part
+        W_k of the full Hessian (the rank-p cross term G^T Hu G is
+        handled by the border; see module docstring)."""
+        v = spec.f_blk(xk, th)
+        if me:
+            v = v - lek @ spec.ce_blk(xk, th)
+        if ni:
+            v = v - lik @ spec.ci_blk(xk, th)
+        if has_cc:
+            v = v - w @ spec.g_blk(xk, th)
+        return v
+
+    if spec.hess_blk is not None:
+        W_v = jax.vmap(spec.hess_blk, in_axes=(0, 0, 0, 0, None))
+    else:
+        W_v = jax.vmap(jax.hessian(lag_blk), in_axes=(0, 0, 0, 0, None))
+
+    def _psum(v):
+        return lax.psum(v, axis_name=axis)
+
+    # ------------------------------------------------------------------
+    # residuals / merit on LOCAL (Kl, ...) slabs; psum for global scalars.
+    # Layouts mirror core/kkt.py (reference pyipm.py:609-694) with the
+    # coupling appended to the equality class.
+    def coupling_state(x, th, ccdata, lc):
+        """u (p,) replicated, cc(u) (mc,), Jcc (mc, p), w = Jcc^T lc."""
+        u = _psum(jnp.sum(g_v(x, th), axis=0))
+        cc_val = spec.cc(u, ccdata)
+        Jcc = jax.jacfwd(lambda u_: spec.cc(u_, ccdata))(u)
+        return u, cc_val, Jcc, Jcc.T @ lc
+
+    def fval_g(x, th):
+        return _psum(jnp.sum(f_v(x, th)))
+
+    def residual_blocks(x, s, le, li, lc, th, ccdata, mu):
+        """(rx (Kl,d), rs (Kl,ni), rce (Kl,me), rcc (mc,), rci (Kl,ni),
+        plus (u, Jcc, w) coupling aux)."""
+        Kl = x.shape[0]
+        rx = gradf_v(x, th)
+        if me:
+            rx = rx - jnp.einsum("kmd,km->kd", Je_v(x, th), le)
+        if ni:
+            rx = rx - jnp.einsum("knd,kn->kd", Ji_v(x, th), li)
+            rs = li - mu / (s + guard)
+            rci = ci_v(x, th) - s
+        else:
+            rs = jnp.zeros((Kl, 0), dtype)
+            rci = jnp.zeros((Kl, 0), dtype)
+        rce = ce_v(x, th) if me else jnp.zeros((Kl, 0), dtype)
+        if has_cc:
+            u, cc_val, Jcc, w = coupling_state(x, th, ccdata, lc)
+            rx = rx - jnp.einsum("kpd,p->kd", G_v(x, th), w)
+            rcc = cc_val
+        else:
+            u = jnp.zeros((0,), dtype)
+            Jcc = jnp.zeros((0, 0), dtype)
+            w = jnp.zeros((0,), dtype)
+            rcc = jnp.zeros((0,), dtype)
+        return rx, rs, rce, rcc, rci, (u, Jcc, w)
+
+    def kkt_norms_g(x, s, le, li, lc, th, ccdata, mu):
+        rx, rs, rce, rcc, rci, _ = residual_blocks(
+            x, s, le, li, lc, th, ccdata, mu)
+        zero = jnp.zeros((), dtype)
+        k1 = jnp.sqrt(_psum(jnp.sum(rx ** 2)))
+        k2 = jnp.sqrt(_psum(jnp.sum((rs * s) ** 2))) if ni else zero
+        ce_sq = _psum(jnp.sum(rce ** 2)) if me else zero
+        k3 = (jnp.sqrt(ce_sq + jnp.sum(rcc ** 2))
+              if (me or has_cc) else zero)
+        k4 = jnp.sqrt(_psum(jnp.sum(rci ** 2))) if ni else zero
+        return jnp.stack([k1, k2, k3, k4])
+
+    def con_l1(x, s, th, ccdata):
+        """Global l1 infeasibility |ce|_1 + |cc|_1 + |ci - s|_1."""
+        v = jnp.zeros((), dtype)
+        if me:
+            v = v + _psum(jnp.sum(jnp.abs(ce_v(x, th))))
+        if ni:
+            v = v + _psum(jnp.sum(jnp.abs(ci_v(x, th) - s)))
+        if has_cc:
+            u = _psum(jnp.sum(g_v(x, th), axis=0))
+            v = v + jnp.sum(jnp.abs(spec.cc(u, ccdata)))
+        return v
+
+    def phi_g(x, s, th, ccdata, mu, nu):
+        """l1 merit (reference pyipm.py:670-694), globally reduced."""
+        val = fval_g(x, th) + nu * con_l1(x, s, th, ccdata)
+        if ni:
+            val = val - mu * _psum(jnp.sum(jnp.log(s)))
+        return val
+
+    # ------------------------------------------------------------------
+    def direction(x, s, le, li, lc, th, ccdata, mu, delta):
+        """Distributed condensed-KKT Newton step via the coupling border.
+
+        Returns (dx, ds, dae, db, dac, resolve, delta_new, retries) with
+        the PRE-FLIP sign convention of ops/condensed.py (the caller
+        negates the multiplier steps, reference pyipm.py:1723-1725);
+        ``resolve(rce_n, rcc_n, rci_n)`` is the same-matrix SOC."""
+        Kl = x.shape[0]
+        rx, rs, rce, rcc, rci, (u, Jcc, w) = residual_blocks(
+            x, s, le, li, lc, th, ccdata, mu)
+        g1, g2, g3e, g3c, g4 = -rx, -rs, -rce, -rcc, -rci
+
+        W = W_v(x, th, le, li, w)                        # (Kl, d, d)
+        if ni:
+            Ji = Ji_v(x, th)                             # (Kl, ni, d)
+            JiT = jnp.swapaxes(Ji, 1, 2)
+            sig = li / (s + guard)                       # (Kl, ni)
+            A = W + jnp.einsum("kdn,kn,kne->kde", JiT, sig, Ji)
+            rhs1 = g1 + jnp.einsum("kdn,kn->kd", JiT, sig * g4 + g2)
+        else:
+            Ji = jnp.zeros((Kl, 0, d), dtype)
+            sig = jnp.zeros((Kl, 0), dtype)
+            A = W
+            rhs1 = g1
+        if me:
+            Je = Je_v(x, th)                             # (Kl, me, d)
+            JeT = jnp.swapaxes(Je, 1, 2)
+            M = jnp.zeros((Kl, n, n), dtype)
+            M = M.at[:, :d, :d].set(A)
+            M = M.at[:, :d, d:].set(JeT)
+            M = M.at[:, d:, :d].set(Je)
+            rhs0 = jnp.concatenate([rhs1, g3e], axis=1)
+        else:
+            Je = jnp.zeros((Kl, 0, d), dtype)
+            M = A
+            rhs0 = rhs1
+        M = (M + jnp.swapaxes(M, 1, 2)) * jnp.asarray(0.5, dtype)
+
+        # per-block inertia-corrected factorization — the batched form of
+        # the condensed path's reg_solve_kkt (ops/linalg.py)
+        solve_blk, delta_new, retries, (delta_app, eq_app) = \
+            batched_reg_factor(
+                M, delta, mu, neq=me, eps=eps, reg_coef=cfg.reg_coef,
+                eta=cfg.eta, beta=cfg.beta, delta0=cfg.delta0,
+                max_retries=cfg.max_reg_retries, block=cfg.ldlt_block)
+
+        if has_cc:
+            G = G_v(x, th)                               # (Kl, p, d)
+            Hu = jax.hessian(
+                lambda u_: lc @ spec.cc(u_, ccdata))(u)  # (p, p)
+            Ghat = jnp.zeros((Kl, n, p), dtype)
+            Ghat = Ghat.at[:, :d, :].set(jnp.swapaxes(G, 1, 2))
+            X = solve_blk(Ghat)                          # (Kl, n, p)
+            # the psums that ride the ICI (SURVEY.md §5)
+            Pm = _psum(jnp.einsum("kpd,kdq->pq", G, X[:, :d, :]))
+            Bm = jnp.zeros((p + mc, p + mc), dtype)
+            Bm = Bm.at[:p, :p].set(jnp.eye(p, dtype=dtype) - Pm @ Hu)
+            Bm = Bm.at[:p, p:].set(Pm @ Jcc.T)
+            Bm = Bm.at[p:, :p].set(Jcc)
+            # tiny Tikhonov on the zero block for rank-deficient coupling;
+            # the refinement below corrects toward the unregularized
+            # system (the lstsq_minnorm pattern)
+            Bm = Bm.at[p:, p:].set(
+                cfg.reg_coef * jnp.eye(mc, dtype=dtype))
+            blu = jax.scipy.linalg.lu_factor(Bm)
+        else:
+            G = jnp.zeros((Kl, 0, d), dtype)
+            Hu = jnp.zeros((0, 0), dtype)
+            X = jnp.zeros((Kl, n, 0), dtype)
+            blu = None
+
+        def solve_full(rhs0_, g3c_):
+            """Solve the bordered system for block rhs (Kl, n) and
+            coupling rhs g3c_; returns (U (Kl, n), dac (mc,), v (p,))."""
+            U0 = solve_blk(rhs0_[..., None])[..., 0]
+            if not has_cc:
+                return U0, jnp.zeros((0,), dtype), jnp.zeros((0,), dtype)
+            pv = _psum(jnp.einsum("kpd,kd->p", G, U0[:, :d]))
+            vdac = jax.scipy.linalg.lu_solve(
+                blu, jnp.concatenate([pv, g3c_]))
+            v, dac = vdac[:p], vdac[p:]
+            y = Hu @ v - Jcc.T @ dac
+            U = U0 + jnp.einsum("knp,p->kn", X, y)
+            return U, dac, v
+
+        def recover(U, dac, g2_, g4_):
+            dx = U[:, :d]
+            dae = U[:, d:]
+            if ni:
+                ds = jnp.einsum("knd,kd->kn", Ji, dx) - g4_
+                db = sig * ds - g2_
+            else:
+                ds = jnp.zeros((Kl, 0), dtype)
+                db = jnp.zeros((Kl, 0), dtype)
+            return dx, ds, dae, db, dac
+
+        def full_residual(dx, ds, dae, db, dac):
+            """Residual of the REGULARIZED full Newton system via block
+            matvecs + psums — same contract as ops/condensed.py's
+            refinement (the applied delta/eq shifts are part of the
+            system; the border Tikhonov is NOT, so refinement pulls
+            toward the unregularized coupling row)."""
+            r1 = g1 - (jnp.einsum("kde,ke->kd", W, dx)
+                       + delta_app[:, None] * dx)
+            if me:
+                r1 = r1 - jnp.einsum("kmd,km->kd", Je, dae)
+                r3e = g3e - (jnp.einsum("kmd,kd->km", Je, dx)
+                             - eq_app[:, None] * dae)
+            else:
+                r3e = g3e
+            if ni:
+                r1 = r1 - jnp.einsum("knd,kn->kd", Ji, db)
+                r2 = g2 - (sig * ds - db)
+                r4 = g4 - (jnp.einsum("knd,kd->kn", Ji, dx) - ds)
+            else:
+                r2, r4 = g2, g4
+            if has_cc:
+                vv = _psum(jnp.einsum("kpd,kd->p", G, dx))
+                r1 = r1 - jnp.einsum("kpd,p->kd", G,
+                                     Jcc.T @ dac - Hu @ vv)
+                r3c = g3c - Jcc @ vv
+            else:
+                r3c = g3c
+            return r1, r2, r3e, r3c, r4
+
+        def res_norm2(r):
+            r1, r2, r3e, r3c, r4 = r
+            return (_psum(jnp.sum(r1 ** 2) + jnp.sum(r2 ** 2)
+                          + jnp.sum(r3e ** 2) + jnp.sum(r4 ** 2))
+                    + jnp.sum(r3c ** 2))
+
+        def condensed_apply(r):
+            """One bordered solve of the residual system against the
+            CACHED factors (no refactorization) — ops/condensed.py's
+            condensed_apply, distributed."""
+            r1, r2, r3e, r3c, r4 = r
+            rr1 = r1 + (jnp.einsum("kdn,kn->kd", JiT, sig * r4 + r2)
+                        if ni else 0.0)
+            rr0 = jnp.concatenate([rr1, r3e], axis=1) if me else rr1
+            Ue, eac, _ = solve_full(rr0, r3c)
+            return recover(Ue, eac, r2, r4)
+
+        steps = recover(*solve_full(rhs0, g3c)[:2], g2, g4)
+        for _ in range(2):
+            r = full_residual(*steps)
+            rn0 = res_norm2(r)
+            corr = condensed_apply(r)
+            steps2 = tuple(a + b for a, b in zip(steps, corr))
+            rn1 = res_norm2(full_residual(*steps2))
+            better = rn1 < rn0
+            steps = tuple(jnp.where(better, a2, a)
+                          for a, a2 in zip(steps, steps2))
+        dx, ds, dae, db, dac = steps
+
+        def resolve(rce_n, rcc_n, rci_n):
+            """Same-matrix SOC: constraint-only residuals through the
+            SAME factorization (zero gradient rows)."""
+            g4n = -rci_n
+            rr1 = (jnp.einsum("kdn,kn->kd", JiT, sig * g4n)
+                   if ni else jnp.zeros((Kl, d), dtype))
+            rr0 = (jnp.concatenate([rr1, -rce_n], axis=1) if me else rr1)
+            Up, _, _ = solve_full(rr0, -rcc_n)
+            dx_p = Up[:, :d]
+            ds_p = (jnp.einsum("knd,kd->kn", Ji, dx_p) - g4n
+                    if ni else jnp.zeros((Kl, 0), dtype))
+            return dx_p, ds_p
+
+        return dx, ds, dae, db, dac, resolve, delta_new, retries
+
+    # ------------------------------------------------------------------
+    # one primal-dual iteration on the SolverState carry (the distributed
+    # instantiation of core/solver.py's inner_iter)
+    def make_inner_iter(th, ccdata):
+        def inner_iter(st: SolverState) -> SolverState:
+            le, li, lc = st.lda
+            with jax.named_scope("ipm-direction"):
+                dx, ds, dae, db, dac, resolve, delta_new, retries = \
+                    direction(st.x, st.s, le, li, lc, th, ccdata, st.mu,
+                              st.delta)
+            st = st._replace(delta=delta_new,
+                             reg_retries=st.reg_retries + retries)
+            # multiplier sign flip (reference pyipm.py:1723-1725)
+            dle, dli, dlc = -dae, -db, -dac
+
+            # merit penalty update (pyipm.py:1727-1735; shared formula)
+            cl1 = con_l1(st.x, st.s, th, ccdata)
+            bdot = _psum(jnp.sum(gradf_v(st.x, th) * dx))
+            if ni:
+                bdot = bdot + _psum(
+                    jnp.sum(-st.mu / (st.s + guard) * ds))
+            nu = jnp.maximum(st.nu,
+                             nu_threshold(bdot, cl1, cfg.rho, tiny))
+
+            # global fraction-to-the-boundary (closed form + pmin)
+            if ni:
+                a_s = max_step_ftb(st.s, ds, cfg.tau, axis=axis)
+                a_l = max_step_ftb(li, dli, cfg.tau, axis=axis)
+            else:
+                a_s = jnp.ones((), dtype)
+                a_l = jnp.ones((), dtype)
+
+            phi0 = phi_g(st.x, st.s, th, ccdata, st.mu, nu)
+            dphi0 = bdot - nu * cl1
+            # roundoff-aware Armijo slack (see core/linesearch.py)
+            slack = 10.0 * eps * (1.0 + jnp.abs(phi0))
+
+            def armijo_rhs(a):
+                return phi0 + a * cfg.eta * dphi0 + slack
+
+            def phi_at(a):
+                return phi_g(st.x + a * dx, st.s + a * ds, th, ccdata,
+                             st.mu, nu)
+
+            base = jnp.sqrt(_psum(jnp.sum((a_s * dx) ** 2)
+                                  + jnp.sum((a_l * ds) ** 2)))
+
+            payload_zero = (jnp.zeros_like(dx), jnp.zeros_like(ds),
+                            jnp.ones((), dtype))
+
+            def try_soc(a):
+                """Second-order correction when infeasibility increased
+                (reference pyipm.py:1464-1489) via the same-matrix
+                resolve."""
+                xa = st.x + a * dx
+                sa = st.s + a * ds
+                new_l1 = con_l1(xa, sa, th, ccdata)
+
+                def do(_):
+                    Kl = xa.shape[0]
+                    rce_n = (ce_v(xa, th) if me
+                             else jnp.zeros((Kl, 0), dtype))
+                    rci_n = (ci_v(xa, th) - sa if ni
+                             else jnp.zeros((Kl, 0), dtype))
+                    if has_cc:
+                        un = _psum(jnp.sum(g_v(xa, th), axis=0))
+                        rcc_n = spec.cc(un, ccdata)
+                    else:
+                        rcc_n = jnp.zeros((0,), dtype)
+                    dx_p, ds_p = resolve(rce_n, rcc_n, rci_n)
+                    rhs = armijo_rhs(a)
+                    ok1 = phi_g(xa + dx_p, sa + ds_p, th, ccdata,
+                                st.mu, nu) <= rhs
+                    if ni:
+                        a_corr = max_step_ftb(st.s, a * ds + ds_p,
+                                              cfg.tau, axis=axis)
+                        ok2 = phi_g(st.x + a_corr * (a * dx + dx_p),
+                                    st.s + a_corr * (a * ds + ds_p),
+                                    th, ccdata, st.mu, nu) <= rhs
+                        return ok1 & ok2, (dx_p, ds_p, a_corr)
+                    return ok1, (dx_p, ds_p, jnp.ones((), dtype))
+
+                def dont(_):
+                    return jnp.zeros((), jnp.bool_), payload_zero
+
+                return lax.cond(new_l1 > cl1, do, dont, None)
+
+            def apply(a_sf, a_lf, soc, payload):
+                dx_p, ds_p, a_corr = payload
+                one = jnp.ones((), dtype)
+                corr = jnp.where(soc, a_corr, one)
+                gate = jnp.where(soc, one, jnp.zeros((), dtype))
+                x = st.x + corr * (a_sf * dx + gate * dx_p)
+                s = st.s + corr * (a_sf * ds + gate * ds_p) if ni else st.s
+                lda = (le + a_lf * dle, li + a_lf * dli, lc + a_lf * dlc)
+                return st._replace(x=x, s=s, lda=lda, nu=nu, alpha=a_sf)
+
+            def abort():
+                return st._replace(signal=jnp.asarray(-2, jnp.int32),
+                                   nu=nu, alpha=jnp.zeros((), dtype))
+
+            with jax.named_scope("ipm-line-search"):
+                sn = merit_line_search(
+                    phi_at, armijo_rhs, base, a_s, a_l,
+                    try_soc, payload_zero, apply, abort,
+                    tau=cfg.tau, eps=eps, chunk=cfg.backtrack_chunk,
+                    max_backtrack=cfg.max_backtrack)
+            sn = sn._replace(iter_count=sn.iter_count + 1)
+            len_, lin_, lcn_ = sn.lda
+            with jax.named_scope("ipm-kkt-residual"):
+                sn = sn._replace(kkt=kkt_norms_g(
+                    sn.x, sn.s, len_, lin_, lcn_, th, ccdata, sn.mu))
+
+            if cfg.nan_guard:
+                # in-loop sanitizer (SURVEY.md §5): OR-reduced across
+                # devices via a psum of non-finite counts
+                bad_local = (jnp.sum(~jnp.isfinite(sn.x))
+                             + jnp.sum(~jnp.isfinite(sn.s))
+                             + jnp.sum(~jnp.isfinite(len_))
+                             + jnp.sum(~jnp.isfinite(lin_)))
+                finite = ((_psum(bad_local) == 0)
+                          & jnp.all(jnp.isfinite(lcn_))
+                          & jnp.all(jnp.isfinite(sn.kkt)))
+                sn = sn._replace(signal=jnp.where(
+                    (sn.signal >= 0) & ~finite,
+                    jnp.asarray(-3, jnp.int32), sn.signal))
+
+            if cfg.Ftol is not None and ni == 0:
+                # per-inner-iteration Ftol, eq-only (pyipm.py:1756-1766)
+                f_new = fval_g(sn.x, th)
+                live = sn.signal != -2
+                hit = live & (jnp.abs(sn.f_past - f_new)
+                              <= abs(cfg.Ftol))
+                sn = sn._replace(
+                    signal=jnp.where(hit, jnp.asarray(2, jnp.int32),
+                                     sn.signal),
+                    f_past=jnp.where(live, f_new, sn.f_past))
+            return sn
+
+        return inner_iter
+
+    # ------------------------------------------------------------------
+    def local_solve(x0, th, ccdata, s0, le0, li0, lc0):
+        Kl = x0.shape[0]
+        x = x0.astype(dtype)
+        if ni:
+            s = (jnp.maximum(ci_v(x, th), cfg.Ktol).astype(dtype)
+                 if s0 is None else s0.astype(dtype))
+            mu0 = jnp.asarray(cfg.mu, dtype)
+        else:
+            s = jnp.zeros((Kl, 0), dtype)
+            mu0 = jnp.asarray(cfg.Ktol, dtype)    # pyipm.py:1606
+        le = (jnp.zeros((Kl, me), dtype) if le0 is None
+              else le0.astype(dtype))
+        li = (jnp.full((Kl, ni), cfg.Ktol, dtype) if li0 is None
+              else li0.astype(dtype))
+        lc = (jnp.zeros((mc,), dtype) if lc0 is None
+              else lc0.astype(dtype))
+
+        kkt0 = kkt_norms_g(x, s, le, li, lc, th, ccdata, mu0)
+        f_past = (fval_g(x, th) if cfg.Ftol is not None
+                  else jnp.zeros((), dtype))
+        i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
+        st = SolverState(
+            x=x, s=s, lda=(le, li, lc),
+            mu=mu0, nu=jnp.asarray(cfg.nu, dtype),
+            delta=jnp.zeros((Kl,), dtype), kkt=kkt0,
+            signal=i32(0), iter_count=i32(0), outer=i32(0),
+            inner=i32(0), inner_done=jnp.zeros((), jnp.bool_),
+            in_inner=jnp.zeros((), jnp.bool_),
+            f_past=f_past, alpha=jnp.zeros((), dtype),
+            reg_retries=i32(0),
+            lbfgs=lbfgs_init(0, 0, cfg.zeta0, dtype),
+            x_old=jnp.zeros((0,), dtype), g=jnp.zeros((0,), dtype),
+            hist=MetricsHistory(
+                kkt=jnp.zeros((0, 4), dtype), mu=jnp.zeros((0,), dtype),
+                nu=jnp.zeros((0,), dtype), alpha=jnp.zeros((0,), dtype),
+                delta=jnp.zeros((0,), dtype)),
+        )
+
+        def centrality_stats(st):
+            _, li_, _ = st.lda
+            return (_psum(jnp.sum(st.s * li_)),
+                    lax.pmin(jnp.min(st.s * li_), axis_name=axis),
+                    Kl * nglob * ni)
+
+        engine = make_loop_engine(
+            cfg, inner_iter=make_inner_iter(th, ccdata),
+            f_val=lambda st: fval_g(st.x, th),
+            centrality_stats=centrality_stats,
+            has_ineq=ni > 0, unconstrained=(me + ni + mc) == 0,
+            dtype=dtype)
+        st = engine.run(st)
+        le_f, li_f, lc_f = st.lda
+        return BlockResult(
+            x=st.x, s=st.s, le=le_f, li=li_f, lc=lc_f,
+            fval=fval_g(st.x, th), kkt=st.kkt, signal=st.signal,
+            iter_count=st.iter_count, mu=st.mu, nu=st.nu)
+
+    # ------------------------------------------------------------------
+    blk = P(axis)            # leading K axis sharded over blocks
+    rep = P()
+    out_specs = BlockResult(
+        x=blk, s=blk, le=blk, li=blk, lc=rep, fval=rep, kkt=rep,
+        signal=rep, iter_count=rep, mu=rep, nu=rep)
+
+    _cache = {}
+
+    def fn(x0, theta, ccdata=None, s0=None, le0=None, li0=None, lc0=None):
+        # one compiled SPMD program per combination of supplied warm-start
+        # arguments (None cannot cross the shard_map boundary as an array)
+        opts = {"s0": s0, "le0": le0, "li0": li0, "lc0": lc0}
+        names = tuple(k for k, v in opts.items() if v is not None)
+        if names not in _cache:
+            def local(x0_, th_, ccd_, opt_):
+                kw = {k: None for k in ("s0", "le0", "li0", "lc0")}
+                kw.update(opt_)
+                # full-f32 matmuls (see IPMConfig.matmul_precision)
+                with jax.default_matmul_precision(cfg.matmul_precision):
+                    return local_solve(
+                        x0_, th_, ccd_, kw["s0"], kw["le0"], kw["li0"],
+                        kw["lc0"])
+
+            def in_specs_of(theta_, ccdata_, opt_):
+                return (blk, jax.tree.map(lambda _: blk, theta_),
+                        jax.tree.map(lambda _: rep, ccdata_),
+                        {k: (rep if k == "lc0" else blk) for k in opt_})
+
+            def run(x0_, theta_, ccdata_, opt_):
+                sharded = jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=in_specs_of(theta_, ccdata_, opt_),
+                    out_specs=out_specs,
+                    check_vma=False,
+                )
+                return sharded(x0_, theta_, ccdata_, opt_)
+
+            _cache[names] = jax.jit(run)
+        opt = {k: v for k, v in opts.items() if v is not None}
+        return _cache[names](x0, theta, ccdata, opt)
+
+    return fn
+
+
+# ----------------------------------------------------------------------
+# Backward-compatible specialized interface (box bounds + per-block eq +
+# LINEAR coupling), now a thin adapter over the general solver.
 @dataclasses.dataclass(frozen=True, eq=False)
 class SeparableNLP:
-    """Static description of a block-separable NLP."""
+    """Static description of a box/linear-coupling block-separable NLP
+    (the round-2 interface, retained as a convenience constructor; the
+    general class is :class:`BlockNLP`)."""
     f_blk: Callable          # (x_k (d,), theta_k) -> scalar
     d: int                   # per-block variable count
     mc: int                  # coupling equality constraints
     has_box: bool = True     # x_k >= lb_k bounds
-    ce_blk: Optional[Callable] = None   # (x_k, theta_k) -> (me,) per-block
-    #                                     equality constraints
+    ce_blk: Optional[Callable] = None   # (x_k, theta_k) -> (me,)
     me: int = 0
 
 
@@ -88,445 +727,40 @@ class SeparableResult(NamedTuple):
     nu: jnp.ndarray
 
 
-def _psum(v, axis):
-    return lax.psum(v, axis_name=axis)
-
-
 def make_separable_solver(spec: SeparableNLP, mesh,
                           config: Optional[IPMConfig] = None,
                           axis: str = "model"):
-    """Build the sharded solve function.
-
-    Returns ``fn(x0 (K, d), data: SeparableData) -> SeparableResult`` jitted
-    over ``mesh`` with block-sharded inputs/outputs and replicated coupling
-    state.  K must be divisible by the mesh's ``axis`` size.
-    """
-    cfg = config if config is not None else IPMConfig(float_dtype="float32")
-    dtype = cfg.np_dtype
-    d, mc, me = spec.d, spec.mc, spec.me
-    eps = float(np.finfo(dtype).eps)
-    tiny = float(np.finfo(dtype).tiny)
-    guard = float(np.sqrt(np.finfo(dtype).tiny))  # see core.kkt._eps_of
-    box = spec.has_box
-    assert (me > 0) == (spec.ce_blk is not None)
-
-    grad_f = jax.vmap(jax.grad(spec.f_blk))          # (Kl,d),(Kl,...)->(Kl,d)
-    fsum_l = jax.vmap(spec.f_blk)                    # -> (Kl,)
-    if me:
-        ce_l = jax.vmap(spec.ce_blk)                 # -> (Kl, me)
-        jac_ce = jax.vmap(jax.jacfwd(spec.ce_blk))   # -> (Kl, me, d)
-
-        def _lag_blk(xk, th, lek):
-            return spec.f_blk(xk, th) - lax.stop_gradient(lek) @ \
-                spec.ce_blk(xk, th)
-
-        hess_L = jax.vmap(jax.hessian(_lag_blk))     # -> (Kl, d, d)
-    else:
-        def hess_L(x, th, le):
-            return jax.vmap(jax.hessian(spec.f_blk))(x, th)
-
-    # ------------------------------------------------------------------
-    # residuals / merit, all on LOCAL slabs (Kl, ...) with psum for
-    # global scalars (layouts mirror core/kkt.py — reference
-    # pyipm.py:609-694 — with dci = I for bound constraints)
-    def fval(x, th, ax):
-        return _psum(jnp.sum(fsum_l(x, th)), ax)
-
-    def ce_res(x, A, b, ax):
-        """sum_k A_k x_k - b, replicated (mc,)."""
-        return _psum(jnp.einsum("kcd,kd->c", A, x), ax) - b
-
-    def con_blocks(x, s, th, data, ax):
-        """(rce_c (mc,), rce_blk (Kl, me), rci (Kl, d))."""
-        rce_c = ce_res(x, data.A, data.b, ax)
-        rce_b = ce_l(x, th) if me else jnp.zeros((x.shape[0], 0), dtype)
-        rci = (x - data.lb - s) if box else jnp.zeros_like(x)
-        return rce_c, rce_b, rci
-
-    def con_l1(x, s, th, data, ax):
-        rce_c, rce_b, rci = con_blocks(x, s, th, data, ax)
-        v = jnp.sum(jnp.abs(rce_c))
-        if me:
-            v = v + _psum(jnp.sum(jnp.abs(rce_b)), ax)
-        if box:
-            v = v + _psum(jnp.sum(jnp.abs(rci)), ax)
-        return v
-
-    def grad_blocks(x, s, z, le, lc, th, data, mu, ax):
-        """Residual blocks: r_x (Kl,d), r_s (Kl,d), rce_c, rce_blk, rci."""
-        rx = grad_f(x, th) - jnp.einsum("kcd,c->kd", data.A, lc)
-        if me:
-            rx = rx - jnp.einsum("kmd,km->kd", jac_ce(x, th), le)
-        if box:
-            rx = rx - z
-            rs = z - mu / (s + guard)
-        else:
-            rs = jnp.zeros_like(x)
-        rce_c, rce_b, rci = con_blocks(x, s, th, data, ax)
-        return rx, rs, rce_c, rce_b, rci
-
-    def kkt_norms(x, s, z, le, lc, th, data, mu, ax):
-        rx, rs, rce_c, rce_b, rci = grad_blocks(
-            x, s, z, le, lc, th, data, mu, ax)
-        n1 = jnp.sqrt(_psum(jnp.sum(rx ** 2), ax))
-        n2 = jnp.sqrt(_psum(jnp.sum((rs * s) ** 2), ax)) if box \
-            else jnp.zeros((), dtype)
-        n3 = jnp.sqrt(jnp.sum(rce_c ** 2)
-                      + (_psum(jnp.sum(rce_b ** 2), ax) if me else 0.0))
-        n4 = jnp.sqrt(_psum(jnp.sum(rci ** 2), ax)) if box \
-            else jnp.zeros((), dtype)
-        return jnp.stack([n1, n2, n3, n4])
-
-    def phi(x, s, th, data, mu, nu, ax):
-        """l1 merit (reference pyipm.py:670-694), globally reduced."""
-        val = fval(x, th, ax) + nu * con_l1(x, s, th, data, ax)
-        if box:
-            val = val - mu * _psum(jnp.sum(jnp.log(s)), ax)
-        return val
-
-    # ------------------------------------------------------------------
-    def chol_with_shift(H):
-        """Per-block Cholesky with diagonal-shift retry (the Schur-path
-        analog of reghess, reference pyipm.py:1373-1406): H_k + delta I
-        must be PD; escalate delta*10 on breakdown (NaN in the factor)."""
-        eye = jnp.eye(d, dtype=dtype)
-
-        def factor(delta):
-            L = jnp.linalg.cholesky(H + delta * eye)
-            ok = jnp.all(jnp.isfinite(L))
-            return L, ok
-
-        L0, ok0 = factor(jnp.zeros((), dtype))
-
-        def cond_fn(c):
-            delta, L, ok, t = c
-            return (~ok) & (t < cfg.max_reg_retries)
-
-        def body_fn(c):
-            delta, L, ok, t = c
-            delta = jnp.where(delta == 0, cfg.delta0, delta * 10.0)
-            L, ok = factor(delta)
-            return delta, L, ok, t + 1
-
-        _, L, _, _ = lax.while_loop(
-            cond_fn, body_fn,
-            (jnp.zeros((), dtype), L0, ok0, jnp.zeros((), jnp.int32)))
-        return L
-
-    def factorize(Wd, Ce):
-        """Per-block factorization of the (possibly eq-augmented) block
-        system; returns ``solve(B) -> X`` applying the block inverse to
-        (Kl, d+me, nrhs) right-hand sides.  me == 0 keeps the fast
-        Cholesky path; otherwise pivoted LU on the indefinite augmented
-        matrix M_k = [[Wd_k, Ce_k^T], [Ce_k, -reg I]]."""
-        if not me:
-            L = jax.vmap(chol_with_shift)(Wd)          # (Kl, d, d)
-
-            def solve(B):
-                def one(Lk, Bk):
-                    y = jax.scipy.linalg.solve_triangular(
-                        Lk, Bk, lower=True)
-                    return jax.scipy.linalg.solve_triangular(
-                        Lk.T, y, lower=False)
-                return jax.vmap(one)(L, B)
-
-            return solve
-
-        reg = cfg.reg_coef * jnp.eye(me, dtype=dtype)
-        Kl = Wd.shape[0]
-        M = jnp.zeros((Kl, d + me, d + me), dtype)
-        M = M.at[:, :d, :d].set(Wd)
-        M = M.at[:, :d, d:].set(jnp.swapaxes(Ce, 1, 2))
-        M = M.at[:, d:, :d].set(Ce)
-        M = M.at[:, d:, d:].set(-reg[None])
-        lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(M)
-
-        def solve(B):
-            return jax.vmap(
-                lambda lp, pv, Bk: jax.scipy.linalg.lu_solve((lp, pv), Bk)
-            )(lu, piv, B)
-
-        return solve
-
-    def schur_direction(x, s, z, le, lc, th, data, mu, ax):
-        """Condensed-KKT Newton step via the distributed Schur complement.
-
-        Returns (dx, ds, dz, dle, dlc, resolve) where ``resolve`` reuses
-        the block factorizations for the same-matrix SOC:
-        resolve(rce_c_new, rce_b_new, rci_new) -> (dx_p, ds_p)."""
-        rx, rs, rce_c, rce_b, rci = grad_blocks(
-            x, s, z, le, lc, th, data, mu, ax)
-        W = hess_L(x, th, le)                                # (Kl, d, d)
-        if box:
-            sig = z / (s + guard)                            # (Kl, d)
-            Wd = W + jax.vmap(jnp.diag)(sig)
-        else:
-            sig = jnp.zeros_like(x)
-            Wd = W
-        Ce = jac_ce(x, th) if me else jnp.zeros((x.shape[0], 0, d), dtype)
-        solve_blk = factorize(Wd, Ce)
-
-        # augmented coupling Jacobian rows act on the x-part only
-        At = jnp.zeros((x.shape[0], d + me, mc), dtype)
-        At = At.at[:, :d, :].set(jnp.swapaxes(data.A, 1, 2))
-        MiAT = solve_blk(At)                                 # (Kl, d+me, mc)
-        # Schur complement over coupling constraints — the psum that rides
-        # the ICI (SURVEY.md §5): S = sum_k A_k M_k^{-1} A_k^T  (mc, mc)
-        S = _psum(jnp.einsum("kcd,kde->ce", data.A, MiAT[:, :d, :]), ax)
-        S = S + cfg.reg_coef * jnp.eye(mc, dtype=dtype)
-
-        def solve_coupled(rhs_u, rS_extra):
-            """Solve the full system for block rhs (Kl, d+me) and coupling
-            rhs -rS_extra; returns (du (Kl, d+me), dlc (mc,))."""
-            Mir = solve_blk(rhs_u[..., None])[..., 0]        # (Kl, d+me)
-            rS = rS_extra - _psum(
-                jnp.einsum("kcd,kd->c", data.A, Mir[:, :d]), ax)
-            dlc = jnp.linalg.solve(S, rS)
-            du = Mir + jnp.einsum("kuc,c->ku", MiAT, dlc)
-            return du, dlc
-
-        def assemble_rhs(rx_, rs_, rce_b_, rci_):
-            rhs = jnp.zeros((x.shape[0], d + me), dtype)
-            rhs = rhs.at[:, :d].set(-(rx_ + rs_ + sig * rci_) if box
-                                    else -rx_)
-            if me:
-                rhs = rhs.at[:, d:].set(-rce_b_)
-            return rhs
-
-        du, dlc = solve_coupled(assemble_rhs(rx, rs, rce_b, rci), -rce_c)
-        dx = du[:, :d]
-        dle = -du[:, d:]          # u = -dle in the augmented system
-        if box:
-            ds = dx + rci
-            dz = -rs - sig * ds
-        else:
-            ds = jnp.zeros_like(dx)
-            dz = jnp.zeros_like(dx)
-
-        def resolve(rce_c_new, rce_b_new, rci_new):
-            """Same-matrix SOC correction: constraint-only residuals
-            through the SAME factorization."""
-            zero = jnp.zeros_like(rx)
-            du_p, _ = solve_coupled(
-                assemble_rhs(zero, zero, rce_b_new, rci_new), -rce_c_new)
-            dx_p = du_p[:, :d]
-            ds_p = dx_p + rci_new if box else jnp.zeros_like(dx_p)
-            return dx_p, ds_p
-
-        return dx, ds, dz, dle, dlc, resolve
-
-    # ------------------------------------------------------------------
-    class Carry(NamedTuple):
-        x: jnp.ndarray
-        s: jnp.ndarray
-        z: jnp.ndarray
-        le: jnp.ndarray
-        lc: jnp.ndarray
-        mu: jnp.ndarray
-        nu: jnp.ndarray
-        kkt: jnp.ndarray
-        signal: jnp.ndarray
-        iters: jnp.ndarray
-        outer: jnp.ndarray
-        inner: jnp.ndarray
-        inner_done: jnp.ndarray
-
-    def local_solve(x0, data: SeparableData):
-        ax = axis
-        th = data.theta
-        x = x0.astype(dtype)
-        if box:
-            s = jnp.maximum(x - data.lb, cfg.Ktol).astype(dtype)
-            z = jnp.full_like(s, cfg.Ktol)
-            mu0 = jnp.asarray(cfg.mu, dtype)
-        else:
-            s = jnp.zeros_like(x)
-            z = jnp.zeros_like(x)
-            mu0 = jnp.asarray(cfg.Ktol, dtype)
-        le = jnp.zeros((x.shape[0], me), dtype)
-        lc = jnp.zeros((mc,), dtype)
-        nu0 = jnp.asarray(cfg.nu, dtype)
-
-        def inner_iter(c: Carry) -> Carry:
-            dx, ds, dz, dle, dlc, resolve = schur_direction(
-                c.x, c.s, c.z, c.le, c.lc, th, data, c.mu, ax)
-
-            # nu update (shared formula, core/updates.py; reference
-            # pyipm.py:1727-1735): barrier-gradient dot with the direction
-            # over the l1 infeasibility
-            cl1 = con_l1(c.x, c.s, th, data, ax)
-            bdot = _psum(jnp.sum(grad_f(c.x, th) * dx), ax)
-            if box:
-                bdot = bdot + _psum(
-                    jnp.sum(-c.mu / (c.s + guard) * ds), ax)
-            nu = jnp.maximum(c.nu, nu_threshold(bdot, cl1, cfg.rho, tiny))
-
-            # global fraction-to-the-boundary (shared closed form + pmin)
-            if box:
-                a_s = max_step_ftb(c.s, ds, cfg.tau, axis=ax)
-                a_l = max_step_ftb(c.z, dz, cfg.tau, axis=ax)
-            else:
-                a_s = jnp.ones((), dtype)
-                a_l = jnp.ones((), dtype)
-
-            phi0 = phi(c.x, c.s, th, data, c.mu, nu, ax)
-            dphi0 = bdot - nu * cl1
-            # roundoff-aware Armijo slack (see core/linesearch.py)
-            slack = 10.0 * eps * (1.0 + jnp.abs(phi0))
-
-            def armijo_rhs(a):
-                return phi0 + a * cfg.eta * dphi0 + slack
-
-            def phi_at(a):
-                return phi(c.x + a * dx, c.s + a * ds, th, data, c.mu,
-                           nu, ax)
-
-            base = jnp.sqrt(_psum(jnp.sum((a_s * dx) ** 2)
-                                  + jnp.sum((a_l * ds) ** 2), ax))
-
-            payload_zero = (jnp.zeros_like(dx), jnp.zeros_like(ds),
-                            jnp.ones((), dtype))
-
-            def try_soc(a):
-                """Second-order correction when infeasibility increased
-                (reference pyipm.py:1464-1489), via the same-matrix
-                correction reusing the iteration's factorization."""
-                xa = c.x + a * dx
-                sa = c.s + a * ds
-                old_l1 = cl1
-                new_l1 = con_l1(xa, sa, th, data, ax)
-
-                def do(_):
-                    rc_c, rc_b, rci_n = con_blocks(xa, sa, th, data, ax)
-                    dx_p, ds_p = resolve(rc_c, rc_b, rci_n)
-                    rhs = armijo_rhs(a)
-                    ok1 = phi(xa + dx_p, sa + ds_p, th, data, c.mu,
-                              nu, ax) <= rhs
-                    if box:
-                        a_corr = max_step_ftb(c.s, a * ds + ds_p,
-                                              cfg.tau, axis=ax)
-                        ok2 = phi(c.x + a_corr * (a * dx + dx_p),
-                                  c.s + a_corr * (a * ds + ds_p),
-                                  th, data, c.mu, nu, ax) <= rhs
-                        return ok1 & ok2, (dx_p, ds_p, a_corr)
-                    return ok1, (dx_p, ds_p, jnp.ones((), dtype))
-
-                def dont(_):
-                    return jnp.zeros((), jnp.bool_), payload_zero
-
-                return lax.cond(new_l1 > old_l1, do, dont, None)
-
-            def apply(a_sf, a_lf, soc, payload):
-                dx_p, ds_p, a_corr = payload
-                one = jnp.ones((), dtype)
-                corr = jnp.where(soc, a_corr, one)
-                gate = jnp.where(soc, one, jnp.zeros((), dtype))
-                x = c.x + corr * (a_sf * dx + gate * dx_p)
-                s = c.s + corr * (a_sf * ds + gate * ds_p) if box else c.s
-                z = c.z + a_lf * dz if box else c.z
-                lenew = c.le + a_lf * dle
-                lcnew = c.lc + a_lf * dlc
-                return c._replace(x=x, s=s, z=z, le=lenew, lc=lcnew, nu=nu)
-
-            def abort():
-                return c._replace(signal=jnp.asarray(-2, jnp.int32), nu=nu)
-
-            cn = merit_line_search(
-                phi_at, armijo_rhs, base, a_s, a_l,
-                try_soc, payload_zero, apply, abort,
-                tau=cfg.tau, eps=eps, chunk=cfg.backtrack_chunk,
-                max_backtrack=cfg.max_backtrack)
-            kkt = kkt_norms(cn.x, cn.s, cn.z, cn.le, cn.lc, th, data,
-                            cn.mu, ax)
-            return cn._replace(kkt=kkt, iters=cn.iters + 1)
-
-        def inner_loop(c: Carry) -> Carry:
-            c = c._replace(inner=jnp.zeros((), jnp.int32),
-                           inner_done=jnp.zeros((), jnp.bool_))
-
-            def cond_fn(c):
-                return ((c.inner < cfg.miter) & (c.signal == 0)
-                        & (~c.inner_done))
-
-            def body_fn(c):
-                muTol = jnp.maximum(jnp.asarray(cfg.Ktol, dtype), c.mu)
-                conv = jnp.all(c.kkt <= muTol)
-
-                def on_conv(c):
-                    return c._replace(inner_done=jnp.ones((), jnp.bool_))
-
-                def on_run(c):
-                    c = inner_iter(c)
-                    return c._replace(inner=c.inner + 1)
-
-                return lax.cond(conv, on_conv, on_run, c)
-
-            return lax.while_loop(cond_fn, body_fn, c)
-
-        def outer_body(c: Carry) -> Carry:
-            conv = jnp.all(c.kkt <= cfg.Ktol)
-
-            def on_conv(c):
-                return c._replace(signal=jnp.asarray(1, jnp.int32))
-
-            def on_run(c):
-                c = inner_loop(c)
-                is_last = c.outer >= cfg.niter - 1
-                c = c._replace(signal=jnp.where(
-                    (c.signal == 0) & is_last,
-                    jnp.asarray(-1, jnp.int32), c.signal))
-                if box:
-                    # centrality-based barrier update (shared formula,
-                    # core/updates.py; reference pyipm.py:1804-1814)
-                    def mu_upd(c):
-                        ntot = _psum(jnp.asarray(c.s.size, dtype), ax)
-                        sl = _psum(jnp.sum(c.s * c.z), ax)
-                        smin = lax.pmin(jnp.min(c.s * c.z), axis_name=ax)
-                        return c._replace(mu=centrality_mu(
-                            sl, smin, ntot, eps, cfg.mu_floor, dtype))
-
-                    c = lax.cond(c.signal == 0, mu_upd, lambda c: c, c)
-                return c
-
-            c = lax.cond(conv, on_conv, on_run, c)
-            return c._replace(outer=c.outer + 1)
-
-        kkt0 = kkt_norms(x, s, z, le, lc, th, data, mu0, ax)
-        c0 = Carry(x=x, s=s, z=z, le=le, lc=lc, mu=mu0, nu=nu0, kkt=kkt0,
-                   signal=jnp.zeros((), jnp.int32),
-                   iters=jnp.zeros((), jnp.int32),
-                   outer=jnp.zeros((), jnp.int32),
-                   inner=jnp.zeros((), jnp.int32),
-                   inner_done=jnp.zeros((), jnp.bool_))
-
-        c = lax.while_loop(
-            lambda c: (c.outer < cfg.niter) & (c.signal == 0),
-            outer_body, c0)
-
-        return SeparableResult(
-            x=c.x, s=c.s, z=c.z, le=c.le, lc=c.lc,
-            fval=fval(c.x, th, ax), kkt=c.kkt, signal=c.signal,
-            iter_count=c.iters, mu=c.mu, nu=c.nu)
-
-    # ------------------------------------------------------------------
-    blk = P(axis)            # leading K axis sharded over blocks
-    rep = P()
-    data_specs = SeparableData(theta=blk, A=blk, b=rep, lb=blk)
-    out_specs = SeparableResult(
-        x=blk, s=blk, z=blk, le=blk, lc=rep, fval=rep, kkt=rep, signal=rep,
-        iter_count=rep, mu=rep, nu=rep)
-
-    def local_solve_precise(x0, data):
-        # full-f32 matmul passes (see IPMConfig.matmul_precision)
-        with jax.default_matmul_precision(cfg.matmul_precision):
-            return local_solve(x0, data)
-
-    sharded = jax.shard_map(
-        local_solve_precise, mesh=mesh,
-        in_specs=(blk, data_specs), out_specs=out_specs,
-        check_vma=False,
+    """Build the sharded solve for the box/linear-coupling special case.
+
+    Returns ``fn(x0 (K, d), data: SeparableData) -> SeparableResult``.
+    Adapter over :func:`make_block_solver` (bounds become ci_k = x - lb,
+    the linear coupling becomes g_k = A_k x_k with cc(u) = u - b)."""
+    ni = spec.d if spec.has_box else 0
+    gspec = BlockNLP(
+        f_blk=lambda xk, th: spec.f_blk(xk, th["user"]),
+        d=spec.d,
+        ce_blk=((lambda xk, th: spec.ce_blk(xk, th["user"]))
+                if spec.me else None),
+        me=spec.me,
+        ci_blk=((lambda xk, th: xk - th["lb"]) if spec.has_box else None),
+        ni=ni,
+        g_blk=lambda xk, th: th["A"] @ xk,
+        cc=lambda u, ccd: u - ccd["b"],
+        p=spec.mc, mc=spec.mc,
     )
-    return jax.jit(sharded)
+    solve = make_block_solver(gspec, mesh, config, axis=axis)
+
+    def fn(x0, data: SeparableData) -> SeparableResult:
+        theta = {"user": data.theta, "A": data.A, "lb": data.lb}
+        res = solve(x0, theta, ccdata={"b": data.b})
+        z = res.li if spec.has_box else jnp.zeros_like(res.x)
+        s = res.s if spec.has_box else jnp.zeros_like(res.x)
+        return SeparableResult(
+            x=res.x, s=s, z=z, le=res.le, lc=res.lc, fval=res.fval,
+            kkt=res.kkt, signal=res.signal, iter_count=res.iter_count,
+            mu=res.mu, nu=res.nu)
+
+    return fn
 
 
 # ----------------------------------------------------------------------
@@ -581,3 +815,60 @@ def sample_separable_eq(key, K: int, d: int, mc: int, me: int = 1,
     data = SeparableData(theta=theta, A=A, b=b, lb=lb)
     x0 = jnp.zeros((K, d), dtype)
     return spec, data, x0
+
+
+def sample_block_general(key, K: int, d: int, me: int = 1, ni: int = 2,
+                         p: int = 2, mc: int = 1, dtype=jnp.float64,
+                         nonlinear_cc: bool = True):
+    """Random GENERAL block NLP exercising every constraint class the
+    reference supports (pyipm.py:29-36), block-separable: convex quadratic
+    objectives, linear per-block equalities, general linear per-block
+    inequalities (not bounds), and a coupling constraint cc(sum_k g_k(x_k))
+    with quadratic pooled features and (optionally) nonlinear cc —
+    constructed feasible at a reference point.  Returns
+    (spec, theta, ccdata, x0)."""
+    kq, kc, ke, ki, kg, kx = jax.random.split(key, 6)
+    Gq = jax.random.normal(kq, (K, d, d), dtype) / np.sqrt(d)
+    Q = jnp.einsum("kij,klj->kil", Gq, Gq) + jnp.eye(d, dtype=dtype)[None]
+    c = jax.random.normal(kc, (K, d), dtype)
+    Ce = jax.random.normal(ke, (K, me, d), dtype) / np.sqrt(d)
+    Ciq = jax.random.normal(ki, (K, ni, d), dtype) / np.sqrt(d)
+    Gl = jax.random.normal(kg, (K, p, d), dtype) / np.sqrt(K * d)
+    xfeas = jax.random.normal(kx, (K, d), dtype) * 0.1
+    ee = jnp.einsum("kmd,kd->km", Ce, xfeas)
+    # ci(xfeas) = 1 > 0 strictly feasible
+    di = 1.0 - jnp.einsum("knd,kd->kn", Ciq, xfeas)
+    theta = {"Q": Q, "c": c, "Ce": Ce, "e": ee, "Ci": Ciq, "di": di,
+             "G": Gl}
+
+    def f_blk(xk, th):
+        return 0.5 * xk @ (th["Q"] @ xk) + th["c"] @ xk
+
+    def ce_blk(xk, th):
+        return th["Ce"] @ xk - th["e"]
+
+    def ci_blk(xk, th):
+        return th["Ci"] @ xk + th["di"]
+
+    def g_blk(xk, th):
+        # quadratic pooled features -> nonzero per-block coupling Hessian
+        base = th["G"] @ xk
+        return base + 0.05 * base ** 2
+
+    ufeas = jnp.sum(jax.vmap(g_blk)(xfeas, theta), axis=0)
+
+    if nonlinear_cc:
+        def cc(u, ccd):
+            # nonlinear coupling with nonzero Hu once lc != 0
+            v = u - ccd["u0"]
+            return (v[:mc] + 0.1 * jnp.sum(v ** 2)
+                    * jnp.ones((mc,), v.dtype))
+    else:
+        def cc(u, ccd):
+            return (u - ccd["u0"])[:mc]
+
+    ccdata = {"u0": ufeas}
+    spec = BlockNLP(f_blk=f_blk, d=d, ce_blk=ce_blk, me=me,
+                    ci_blk=ci_blk, ni=ni, g_blk=g_blk, cc=cc, p=p, mc=mc)
+    x0 = jnp.zeros((K, d), dtype)
+    return spec, theta, ccdata, x0

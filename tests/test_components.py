@@ -288,3 +288,87 @@ class TestLstsqMinnorm:
         A = rng.standard_normal((4, 9))
         b = rng.standard_normal(4)
         assert self._dev(A, b) <= 1e-12
+
+
+# ----------------------------------------------------------------------
+# adversarial factorization robustness (VERDICT r2 #5)
+@pytest.mark.parametrize("dtype,piv", [
+    ("float64", 1e-8), ("float64", 1e-12), ("float32", 1e-5),
+])
+def test_reg_solve_near_singular_leading_pivot(dtype, piv):
+    """An unpivoted LDL^T with a nearly-singular LEADING pivot passes the
+    inertia test with finite pivots yet suffers catastrophic element
+    growth (backward error O(1) instead of O(eps)).  The residual gate in
+    reg_solve_kkt must detect it and escalate delta until the returned
+    direction solves the (shifted) system to a stable backward error —
+    the direction quality contract the line search relies on (reference
+    reghess semantics, pyipm.py:1373-1406)."""
+    import jax
+
+    from pyipm_tpu.config import IPMConfig
+    from pyipm_tpu.ops.linalg import reg_solve_kkt
+
+    jdt = jnp.float64 if dtype == "float64" else jnp.float32
+    rng = np.random.default_rng(0)
+    n, nneg = 64, 8
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    w = np.linspace(1, 2, n)
+    w[:nneg] *= -1
+    A = (Q * w) @ Q.T
+    A[0, 0] = piv                       # tiny leading pivot, no pivoting
+    A = (A + A.T) / 2
+    nneg_true = int(np.sum(np.linalg.eigvalsh(A) < 0))
+    g = rng.standard_normal(n)
+    cfg = IPMConfig(float_dtype=dtype)
+    D = n - nneg_true                   # target inertia == actual: the
+    #                                     plain inertia check is blind here
+
+    dz, delta_new, retries = jax.jit(lambda H, b: reg_solve_kkt(
+        H, b, jnp.zeros((), jdt), jnp.asarray(0.1, jdt),
+        nvar=D, neq=nneg_true, nineq=0, eps=cfg.eps,
+        reg_coef=cfg.reg_coef, eta=cfg.eta, beta=cfg.beta,
+        delta0=cfg.delta0, max_retries=20, method="ldlt",
+    ))(jnp.asarray(A, jdt), jnp.asarray(g, jdt))
+
+    assert int(retries) > 0, "residual gate did not trigger"
+    # backward error of the direction vs the system actually solved
+    # (primal block shifted by the escalated delta)
+    ex = np.zeros(n)
+    ex[:D] = 1
+    Ash = A + float(delta_new) * np.diag(ex)
+    dz64 = np.asarray(dz, np.float64)
+    bkw = (np.linalg.norm(Ash @ dz64 - g)
+           / (np.linalg.norm(Ash) * np.linalg.norm(dz64)
+              + np.linalg.norm(g)))
+    tol = 1e-7 if dtype == "float64" else 1e-4
+    assert bkw <= tol, bkw
+
+
+def test_reg_solve_gate_not_triggered_on_stable_systems():
+    """The residual gate must NOT fire on a well-conditioned KKT system
+    (stable factorizations have backward error ~ eps << sqrt(eps))."""
+    import jax
+
+    from pyipm_tpu.config import IPMConfig
+    from pyipm_tpu.ops.linalg import reg_solve_kkt
+
+    rng = np.random.default_rng(1)
+    n, nneg = 48, 6
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    w = np.linspace(1, 3, n)
+    w[:nneg] *= -1
+    A = (Q * w) @ Q.T
+    A = (A + A.T) / 2
+    g = rng.standard_normal(n)
+    cfg = IPMConfig(float_dtype="float64")
+
+    dz, delta_new, retries = jax.jit(lambda H, b: reg_solve_kkt(
+        H, b, jnp.zeros((), jnp.float64), jnp.asarray(0.1, jnp.float64),
+        nvar=n - nneg, neq=nneg, nineq=0, eps=cfg.eps,
+        reg_coef=cfg.reg_coef, eta=cfg.eta, beta=cfg.beta,
+        delta0=cfg.delta0, max_retries=20, method="ldlt",
+    ))(jnp.asarray(A), jnp.asarray(g))
+    assert int(retries) == 0
+    assert float(delta_new) == 0.0
+    r = np.linalg.norm(A @ np.asarray(dz) - g) / np.linalg.norm(g)
+    assert r <= 1e-10, r

@@ -134,3 +134,135 @@ def test_separable_eq_without_box():
     e = np.asarray(data.theta["e"])
     ceb = np.einsum("kmd,kd->km", C, x) - e
     assert np.linalg.norm(ceb.ravel()) <= 1e-4
+
+
+# ----------------------------------------------------------------------
+# general block-NLP structure (round-3): per-block equalities, GENERAL
+# per-block inequalities, upper+lower bounds, NONLINEAR coupling
+def test_block_general_converges_nonlinear_coupling():
+    """Full generality: nonlinear per-block inequalities (not bounds),
+    per-block equalities, and a NONLINEAR coupling constraint
+    cc(sum_k g_k(x_k)) = 0 with quadratic pooled features."""
+    from pyipm_tpu.parallel.schur import (
+        make_block_solver, sample_block_general,
+    )
+
+    K, d = 8, 3
+    spec, theta, ccdata, x0 = sample_block_general(
+        jax.random.key(10), K, d, me=1, ni=2, p=2, mc=1)
+    cfg = IPMConfig(float_dtype="float64", verbosity=0, niter=10, miter=25)
+    fn = make_block_solver(spec, _mesh(8), cfg)
+    res = fn(x0, theta, ccdata=ccdata)
+    kkt = np.asarray(res.kkt)
+    assert int(res.signal) == 1, f"kkt={kkt} signal={int(res.signal)}"
+    assert np.all(kkt <= cfg.Ktol * (1 + 1e-9))
+    x = np.asarray(res.x)
+    # per-block equalities
+    ceb = np.asarray(jax.vmap(spec.ce_blk)(jnp.asarray(x), theta))
+    assert np.linalg.norm(ceb.ravel()) <= 2e-4
+    # general inequalities respected (to slack tolerance)
+    cib = np.asarray(jax.vmap(spec.ci_blk)(jnp.asarray(x), theta))
+    assert np.all(cib >= -1e-6), cib.min()
+    # nonlinear coupling satisfied
+    u = np.asarray(jnp.sum(jax.vmap(spec.g_blk)(jnp.asarray(x), theta),
+                           axis=0))
+    ccv = np.asarray(spec.cc(jnp.asarray(u), ccdata))
+    assert np.linalg.norm(ccv) <= 2e-4, ccv
+
+
+def test_block_general_parity_with_assembled_single_device():
+    """THE distributed-correctness oracle: the general sharded solver on
+    the 8-device mesh must match a single-device 'condensed' solve of the
+    ASSEMBLED problem (blocks concatenated, coupling appended to ce) —
+    same constraint classes as the reference's full NLP
+    (/root/reference/pyipm.py:29-36)."""
+    from pyipm_tpu.config import IPMConfig as Cfg
+    from pyipm_tpu.core.problem import Problem
+    from pyipm_tpu.core.solver import solve as solve_single
+    from pyipm_tpu.parallel.schur import (
+        make_block_solver, sample_block_general,
+    )
+
+    K, d, me, ni, p, mc = 8, 3, 1, 2, 2, 1
+    spec, theta, ccdata, x0 = sample_block_general(
+        jax.random.key(11), K, d, me=me, ni=ni, p=p, mc=mc)
+    cfg = Cfg(float_dtype="float64", verbosity=0, niter=10, miter=25,
+              linear_solver="condensed")
+
+    # distributed solve (defaults: le=0, li=Ktol, lc=0)
+    fn = make_block_solver(spec, _mesh(8), cfg)
+    res_d = fn(x0, theta, ccdata=ccdata)
+    assert int(res_d.signal) == 1, np.asarray(res_d.kkt)
+
+    # assembled single-device problem: ce = [ce_1..ce_K; cc(sum g)],
+    # ci = [ci_1..ci_K]
+    def f(x):
+        xb = x.reshape(K, d)
+        return jnp.sum(jax.vmap(spec.f_blk)(xb, theta))
+
+    def ce(x):
+        xb = x.reshape(K, d)
+        per = jax.vmap(spec.ce_blk)(xb, theta).reshape(-1)
+        u = jnp.sum(jax.vmap(spec.g_blk)(xb, theta), axis=0)
+        return jnp.concatenate([per, spec.cc(u, ccdata)])
+
+    def ci(x):
+        xb = x.reshape(K, d)
+        return jax.vmap(spec.ci_blk)(xb, theta).reshape(-1)
+
+    prob = Problem(f=f, nvar=K * d, neq=K * me + mc, nineq=K * ni,
+                   ce=ce, ci=ci)
+    # multipliers matching the distributed defaults
+    lda0 = np.concatenate([np.zeros(K * me + mc),
+                           np.full(K * ni, cfg.Ktol)])
+    res_s = solve_single(prob, x0.reshape(-1), cfg, lda0=jnp.asarray(lda0))
+    assert int(res_s.signal) == 1, np.asarray(res_s.kkt)
+
+    # the two solves follow the same trajectory to roundoff
+    np.testing.assert_allclose(np.asarray(res_d.x).reshape(-1),
+                               np.asarray(res_s.x), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(float(res_d.fval), float(res_s.fval),
+                               rtol=1e-9)
+    assert abs(int(res_d.iter_count) - int(res_s.iter_count)) <= 1, (
+        int(res_d.iter_count), int(res_s.iter_count))
+    # multipliers agree too (assembled layout: [le blocks; lc; li blocks])
+    lda_s = np.asarray(res_s.lda)
+    np.testing.assert_allclose(np.asarray(res_d.le).reshape(-1),
+                               lda_s[:K * me], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_d.lc),
+                               lda_s[K * me:K * me + mc], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_d.li).reshape(-1),
+                               lda_s[K * me + mc:], atol=1e-6)
+
+
+def test_block_upper_and_lower_bounds():
+    """Box constraints with BOTH bounds via the general inequality class
+    (ci = [x - lb; ub - x])."""
+    from pyipm_tpu.parallel.schur import BlockNLP, box_ci, make_block_solver
+
+    K, d, mc = 8, 3, 2
+    key = jax.random.key(12)
+    kq, kc, ka, kx = jax.random.split(key, 4)
+    G = jax.random.normal(kq, (K, d, d), jnp.float64) / np.sqrt(d)
+    Q = jnp.einsum("kij,klj->kil", G, G) + jnp.eye(d, dtype=jnp.float64)
+    c = 3.0 * jax.random.normal(kc, (K, d), jnp.float64)
+    A = jax.random.normal(ka, (K, mc, d), jnp.float64) / np.sqrt(K * d)
+    xfeas = jax.random.normal(kx, (K, d), jnp.float64) * 0.1
+    theta = {"Q": Q, "c": c, "A": A,
+             "lb": jnp.full((K, d), -0.5, jnp.float64),
+             "ub": jnp.full((K, d), 0.5, jnp.float64)}
+    ccdata = {"b": jnp.einsum("kcd,kd->c", A, xfeas)}
+
+    spec = BlockNLP(
+        f_blk=lambda xk, th: 0.5 * xk @ (th["Q"] @ xk) + th["c"] @ xk,
+        d=d, ci_blk=box_ci("lb", "ub"), ni=2 * d,
+        g_blk=lambda xk, th: th["A"] @ xk,
+        cc=lambda u, ccd: u - ccd["b"], p=mc, mc=mc)
+    cfg = IPMConfig(float_dtype="float64", verbosity=0, niter=10, miter=25)
+    fn = make_block_solver(spec, _mesh(8), cfg)
+    res = fn(jnp.zeros((K, d), jnp.float64), theta, ccdata=ccdata)
+    assert int(res.signal) == 1, np.asarray(res.kkt)
+    x = np.asarray(res.x)
+    assert np.all(x >= -0.5 - 1e-8) and np.all(x <= 0.5 + 1e-8)
+    # with a pull of |c| ~ 3 and tight bounds some bound must be active
+    assert np.any(np.abs(np.abs(x) - 0.5) <= 1e-3)
