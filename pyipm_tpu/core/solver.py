@@ -281,6 +281,7 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
         jax.config.update("jax_enable_x64", True)
 
     D, M, N = problem.nvar, problem.neq, problem.nineq
+    cfg = cfg.resolve_mu_strategy(N)    # 'auto' -> mehrotra if compatible
     ncon = M + N
     Ktot = problem.ntot
     dtype = cfg.np_dtype

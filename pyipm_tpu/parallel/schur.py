@@ -156,6 +156,11 @@ def make_block_solver(spec: BlockNLP, mesh,
     divisible by the mesh's ``axis`` size.
     """
     cfg = config if config is not None else IPMConfig(float_dtype="float32")
+    if cfg.mu_strategy in ("auto", "mehrotra"):
+        # the distributed direction implements the adaptive schedule only
+        # (per-outer centrality update); Mehrotra's predictor-corrector is
+        # single-device for now
+        cfg = cfg.replace(mu_strategy="adaptive")
     dtype = cfg.np_dtype
     d, me, ni, p, mc = spec.d, spec.me, spec.ni, spec.p, spec.mc
     n = d + me

@@ -74,3 +74,28 @@ def test_mehrotra_no_ineq_falls_back():
                                     mu_strategy="mehrotra"))
     assert int(res.signal) in (1, 2)
     assert spec.distance_to_truth(res.x) <= 1e-3
+
+
+def test_auto_strategy_resolves_per_problem():
+    """mu_strategy='auto' must pick Mehrotra for inequality-constrained
+    problems under the condensed solver and fall back to adaptive where
+    Mehrotra does not apply (no inequalities / L-BFGS)."""
+    cfg = IPMConfig(verbosity=0, mu_strategy="auto")
+    assert cfg.resolve_mu_strategy(4).mu_strategy == "mehrotra"
+    assert cfg.resolve_mu_strategy(0).mu_strategy == "adaptive"
+    assert (cfg.replace(lbfgs=4).resolve_mu_strategy(4).mu_strategy
+            == "adaptive")
+    assert (cfg.replace(linear_solver="ldlt").resolve_mu_strategy(4)
+            .mu_strategy == "adaptive")
+    # end-to-end: auto solves an inequality problem (Mehrotra path) and an
+    # eq-only problem (adaptive path) identically to the explicit configs
+    spec = REFERENCE_PROBLEMS[5]
+    prob = spec.make()
+    rng = np.random.default_rng(42)
+    x0 = spec.sample_x0(rng)
+    res_auto = solve(prob, x0, IPMConfig(verbosity=0, mu_strategy="auto"))
+    res_meh = solve(prob, x0,
+                    IPMConfig(verbosity=0, mu_strategy="mehrotra"))
+    assert int(res_auto.signal) == int(res_meh.signal)
+    np.testing.assert_allclose(np.asarray(res_auto.x),
+                               np.asarray(res_meh.x), rtol=1e-12)
