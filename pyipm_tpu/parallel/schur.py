@@ -156,13 +156,10 @@ def make_block_solver(spec: BlockNLP, mesh,
     divisible by the mesh's ``axis`` size.
     """
     cfg = config if config is not None else IPMConfig(float_dtype="float32")
-    if cfg.mu_strategy in ("auto", "mehrotra"):
-        # the distributed direction implements the adaptive schedule only
-        # (per-outer centrality update); Mehrotra's predictor-corrector is
-        # single-device for now
-        cfg = cfg.replace(mu_strategy="adaptive")
+    cfg = cfg.resolve_mu_strategy(spec.ni)  # 'auto' -> mehrotra if ineq
     dtype = cfg.np_dtype
     d, me, ni, p, mc = spec.d, spec.me, spec.ni, spec.p, spec.mc
+    use_mehrotra = cfg.mu_strategy == "mehrotra" and ni > 0
     n = d + me
     eps = float(np.finfo(dtype).eps)
     tiny = float(np.finfo(dtype).tiny)
@@ -298,12 +295,11 @@ def make_block_solver(spec: BlockNLP, mesh,
             JiT = jnp.swapaxes(Ji, 1, 2)
             sig = li / (s + guard)                       # (Kl, ni)
             A = W + jnp.einsum("kdn,kn,kne->kde", JiT, sig, Ji)
-            rhs1 = g1 + jnp.einsum("kdn,kn->kd", JiT, sig * g4 + g2)
         else:
             Ji = jnp.zeros((Kl, 0, d), dtype)
+            JiT = jnp.zeros((Kl, d, 0), dtype)
             sig = jnp.zeros((Kl, 0), dtype)
             A = W
-            rhs1 = g1
         if me:
             Je = Je_v(x, th)                             # (Kl, me, d)
             JeT = jnp.swapaxes(Je, 1, 2)
@@ -311,11 +307,9 @@ def make_block_solver(spec: BlockNLP, mesh,
             M = M.at[:, :d, :d].set(A)
             M = M.at[:, :d, d:].set(JeT)
             M = M.at[:, d:, :d].set(Je)
-            rhs0 = jnp.concatenate([rhs1, g3e], axis=1)
         else:
             Je = jnp.zeros((Kl, 0, d), dtype)
             M = A
-            rhs0 = rhs1
         M = (M + jnp.swapaxes(M, 1, 2)) * jnp.asarray(0.5, dtype)
 
         # per-block inertia-corrected factorization — the batched form of
@@ -376,12 +370,14 @@ def make_block_solver(spec: BlockNLP, mesh,
                 db = jnp.zeros((Kl, 0), dtype)
             return dx, ds, dae, db, dac
 
-        def full_residual(dx, ds, dae, db, dac):
+        def full_residual(dx, ds, dae, db, dac, g2_):
             """Residual of the REGULARIZED full Newton system via block
             matvecs + psums — same contract as ops/condensed.py's
             refinement (the applied delta/eq shifts are part of the
             system; the border Tikhonov is NOT, so refinement pulls
-            toward the unregularized coupling row)."""
+            toward the unregularized coupling row).  ``g2_`` is the
+            complementarity rhs of the system being refined (it differs
+            between the Mehrotra predictor and corrector)."""
             r1 = g1 - (jnp.einsum("kde,ke->kd", W, dx)
                        + delta_app[:, None] * dx)
             if me:
@@ -392,10 +388,10 @@ def make_block_solver(spec: BlockNLP, mesh,
                 r3e = g3e
             if ni:
                 r1 = r1 - jnp.einsum("knd,kn->kd", Ji, db)
-                r2 = g2 - (sig * ds - db)
+                r2 = g2_ - (sig * ds - db)
                 r4 = g4 - (jnp.einsum("knd,kd->kn", Ji, dx) - ds)
             else:
-                r2, r4 = g2, g4
+                r2, r4 = g2_, g4
             if has_cc:
                 vv = _psum(jnp.einsum("kpd,kd->p", G, dx))
                 r1 = r1 - jnp.einsum("kpd,p->kd", G,
@@ -422,17 +418,53 @@ def make_block_solver(spec: BlockNLP, mesh,
             Ue, eac, _ = solve_full(rr0, r3c)
             return recover(Ue, eac, r2, r4)
 
-        steps = recover(*solve_full(rhs0, g3c)[:2], g2, g4)
-        for _ in range(2):
-            r = full_residual(*steps)
-            rn0 = res_norm2(r)
-            corr = condensed_apply(r)
-            steps2 = tuple(a + b for a, b in zip(steps, corr))
-            rn1 = res_norm2(full_residual(*steps2))
-            better = rn1 < rn0
-            steps = tuple(jnp.where(better, a2, a)
-                          for a, a2 in zip(steps, steps2))
-        dx, ds, dae, db, dac = steps
+        def assemble_rhs0(g2_):
+            rr1 = (g1 + jnp.einsum("kdn,kn->kd", JiT, sig * g4 + g2_)
+                   if ni else g1)
+            return jnp.concatenate([rr1, g3e], axis=1) if me else rr1
+
+        def solve_refined(g2_):
+            """Bordered solve + 2 guarded refinement steps for the system
+            with complementarity rhs g2_ (ops/condensed.py pattern)."""
+            steps = recover(*solve_full(assemble_rhs0(g2_), g3c)[:2],
+                            g2_, g4)
+            for _ in range(2):
+                r = full_residual(*steps, g2_)
+                rn0 = res_norm2(r)
+                corr = condensed_apply(r)
+                steps2 = tuple(a + b for a, b in zip(steps, corr))
+                rn1 = res_norm2(full_residual(*steps2, g2_))
+                better = rn1 < rn0
+                steps = tuple(jnp.where(better, a2, a)
+                              for a, a2 in zip(steps, steps2))
+            return steps
+
+        if use_mehrotra:
+            # Mehrotra predictor-corrector through the SAME factorization
+            # and border (the distributed form of ops/condensed.py's
+            # condensed_direction_mehrotra): affine step at mu=0, global
+            # boundary steps via pmin, centering sigma, corrector with the
+            # second-order complementarity term.
+            eps_s = s + guard
+            g2_aff = -li                  # -(li - 0/(s+guard))
+            dx_a, ds_a, dae_a, db_a, dac_a = solve_refined(g2_aff)
+            dli_a = -db_a                 # post-flip multiplier step
+            one = jnp.ones((), dtype)
+            a_s = max_step_ftb(s, ds_a, one, axis=axis)
+            a_l = max_step_ftb(li, dli_a, one, axis=axis)
+            ntot = jnp.asarray(s.size, dtype)
+            ntot_g = _psum(ntot)
+            mu_mean = _psum(jnp.sum(s * li)) / ntot_g
+            mu_aff = _psum(jnp.sum((s + a_s * ds_a)
+                                   * (li + a_l * dli_a))) / ntot_g
+            sigma_c = jnp.clip((mu_aff / (mu_mean + guard)) ** 3, 0.0, 1.0)
+            mu_new = jnp.maximum(sigma_c * mu_mean,
+                                 jnp.asarray(cfg.mu_floor, dtype))
+            g2_c = g2_aff + (mu_new - ds_a * dli_a) / eps_s
+            dx, ds, dae, db, dac = solve_refined(g2_c)
+        else:
+            mu_new = mu
+            dx, ds, dae, db, dac = solve_refined(g2)
 
         def resolve(rce_n, rcc_n, rci_n):
             """Same-matrix SOC: constraint-only residuals through the
@@ -447,7 +479,7 @@ def make_block_solver(spec: BlockNLP, mesh,
                     if ni else jnp.zeros((Kl, 0), dtype))
             return dx_p, ds_p
 
-        return dx, ds, dae, db, dac, resolve, delta_new, retries
+        return dx, ds, dae, db, dac, resolve, delta_new, retries, mu_new
 
     # ------------------------------------------------------------------
     # one primal-dual iteration on the SolverState carry (the distributed
@@ -456,10 +488,12 @@ def make_block_solver(spec: BlockNLP, mesh,
         def inner_iter(st: SolverState) -> SolverState:
             le, li, lc = st.lda
             with jax.named_scope("ipm-direction"):
-                dx, ds, dae, db, dac, resolve, delta_new, retries = \
-                    direction(st.x, st.s, le, li, lc, th, ccdata, st.mu,
-                              st.delta)
-            st = st._replace(delta=delta_new,
+                (dx, ds, dae, db, dac, resolve, delta_new, retries,
+                 mu_new) = direction(st.x, st.s, le, li, lc, th, ccdata,
+                                     st.mu, st.delta)
+            # under 'mehrotra' the barrier evolves per iteration inside
+            # the direction solve (core/solver.py does the same)
+            st = st._replace(mu=mu_new, delta=delta_new,
                              reg_retries=st.reg_retries + retries)
             # multiplier sign flip (reference pyipm.py:1723-1725)
             dle, dli, dlc = -dae, -db, -dac

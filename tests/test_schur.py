@@ -266,3 +266,50 @@ def test_block_upper_and_lower_bounds():
     assert np.all(x >= -0.5 - 1e-8) and np.all(x <= 0.5 + 1e-8)
     # with a pull of |c| ~ 3 and tight bounds some bound must be active
     assert np.any(np.abs(np.abs(x) - 0.5) <= 1e-3)
+
+
+def test_block_mehrotra_parity_with_assembled_single_device():
+    """Distributed Mehrotra predictor-corrector must match the assembled
+    single-device mu_strategy='mehrotra' solve — same factorization-reuse
+    predictor/corrector, psum-reduced centering (parallel/schur.py vs
+    ops/condensed.py condensed_direction_mehrotra)."""
+    from pyipm_tpu.config import IPMConfig as Cfg
+    from pyipm_tpu.core.problem import Problem
+    from pyipm_tpu.core.solver import solve as solve_single
+    from pyipm_tpu.parallel.schur import (
+        make_block_solver, sample_block_general,
+    )
+
+    K, d, me, ni, p, mc = 8, 3, 1, 2, 2, 1
+    spec, theta, ccdata, x0 = sample_block_general(
+        jax.random.key(13), K, d, me=me, ni=ni, p=p, mc=mc)
+    cfg = Cfg(float_dtype="float64", verbosity=0, niter=10, miter=25,
+              mu_strategy="mehrotra")
+
+    fn = make_block_solver(spec, _mesh(8), cfg)
+    res_d = fn(x0, theta, ccdata=ccdata)
+    assert int(res_d.signal) == 1, np.asarray(res_d.kkt)
+
+    def f(x):
+        xb = x.reshape(K, d)
+        return jnp.sum(jax.vmap(spec.f_blk)(xb, theta))
+
+    def ce(x):
+        xb = x.reshape(K, d)
+        per = jax.vmap(spec.ce_blk)(xb, theta).reshape(-1)
+        u = jnp.sum(jax.vmap(spec.g_blk)(xb, theta), axis=0)
+        return jnp.concatenate([per, spec.cc(u, ccdata)])
+
+    def ci(x):
+        xb = x.reshape(K, d)
+        return jax.vmap(spec.ci_blk)(xb, theta).reshape(-1)
+
+    prob = Problem(f=f, nvar=K * d, neq=K * me + mc, nineq=K * ni,
+                   ce=ce, ci=ci)
+    lda0 = np.concatenate([np.zeros(K * me + mc),
+                           np.full(K * ni, cfg.Ktol)])
+    res_s = solve_single(prob, x0.reshape(-1), cfg, lda0=jnp.asarray(lda0))
+    assert int(res_s.signal) == 1, np.asarray(res_s.kkt)
+    np.testing.assert_allclose(np.asarray(res_d.x).reshape(-1),
+                               np.asarray(res_s.x), rtol=1e-6, atol=1e-8)
+    assert abs(int(res_d.iter_count) - int(res_s.iter_count)) <= 1
