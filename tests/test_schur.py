@@ -313,3 +313,41 @@ def test_block_mehrotra_parity_with_assembled_single_device():
     np.testing.assert_allclose(np.asarray(res_d.x).reshape(-1),
                                np.asarray(res_s.x), rtol=1e-6, atol=1e-8)
     assert abs(int(res_d.iter_count) - int(res_s.iter_count)) <= 1
+
+
+def test_block_solver_pause_resume_checkpoint():
+    """The distributed solve pauses after a bounded number of iterations,
+    round-trips its sharded SolverState through host numpy (the
+    checkpoint unit), and resumes BIT-EXACTLY to the straight-through
+    result — the multi-host failure-recovery contract (parallel/launch.py
+    docstring: recovery = relaunch + resume from checkpoint)."""
+    from pyipm_tpu.parallel.schur import (
+        make_block_solver, sample_block_general,
+    )
+
+    K, d = 8, 3
+    spec, theta, ccdata, x0 = sample_block_general(
+        jax.random.key(14), K, d, me=1, ni=2, p=2, mc=1)
+    cfg = IPMConfig(float_dtype="float64", verbosity=0, niter=10, miter=25)
+    mesh = _mesh(8)
+    fn = make_block_solver(spec, mesh, cfg)
+
+    straight = fn(x0, theta, ccdata=ccdata)
+    assert int(straight.signal) == 1
+
+    st = fn.init_state(x0, theta, ccdata=ccdata)
+    st = fn.run_budget(st, theta, ccdata=ccdata, max_new_iters=3)
+    assert int(st.signal) == 0          # paused mid-solve
+    # checkpoint round-trip through host numpy (what utils/checkpoint
+    # serializes), then restore onto the mesh and resume
+    host = jax.tree.map(lambda a: np.asarray(a), st)
+    st2 = jax.tree.map(lambda a: jnp.asarray(a), host)
+    st2 = fn.run(st2, theta, ccdata=ccdata)
+    resumed = fn.finalize(st2, theta, ccdata=ccdata)
+
+    assert int(resumed.signal) == int(straight.signal)
+    assert int(resumed.iter_count) == int(straight.iter_count)
+    np.testing.assert_array_equal(np.asarray(resumed.x),
+                                  np.asarray(straight.x))
+    np.testing.assert_array_equal(np.asarray(resumed.lc),
+                                  np.asarray(straight.lc))
