@@ -747,14 +747,25 @@ def batched_reg_factor(H, delta, mu, *, neq: int, eps: float,
     shift_diag = (dsc * dsc) * ex[None, :]               # (B, n)
     eq_diag = (dsc * dsc) * eeq[None, :]
 
-    if n <= 128:
-        from pyipm_tpu.ops.pallas_ldlt import ldlt_factor_small
+    if n <= 512:
+        # batched small/mid blocks: lane kernels (n <= 128) or the
+        # statically-unrolled panel factorization (v5e, B=1024, n=256:
+        # 267 GF/s vs 86 for vmap(ldlt_factor) and 161 for batched
+        # Cholesky), plus ONE log-depth inverse per factorization reused
+        # by every multi-rhs solve — main rhs + border columns +
+        # refinement + SOC, ~5 solves per factorization (measured 26 ms
+        # vs 73 ms per 10-rhs solve for batched triangular_solve)
+        if n <= 128:
+            from pyipm_tpu.ops.pallas_ldlt import ldlt_factor_small
 
-        def factor(Hm):                                  # (B,n,n)
-            L, dv = jax.vmap(ldlt_factor_small)(Hm)
-            # one log-depth inverse per factorization, reused by every
-            # multi-rhs solve (main rhs + border columns + refinement +
-            # SOC — ~5 solves per factorization)
+            def factor_ld(Hm):                           # (B,n,n)
+                return jax.vmap(ldlt_factor_small)(Hm)
+        else:
+            def factor_ld(Hm):
+                return ldlt_factor_unrolled(Hm, panel=32)
+
+        def factor(Hm):
+            L, dv = factor_ld(Hm)
             Linv = unit_lower_inverse(L)
             return L, dv, Linv
 
@@ -765,6 +776,9 @@ def batched_reg_factor(H, delta, mu, *, neq: int, eps: float,
             z = y / safe[..., None]
             return jnp.einsum("bji,bjr->bir", Linv, z)
     else:
+        # large blocks: bounded-compile-size blocked factorization under
+        # vmap + batched triangular solves (the n^2 inverse would cost
+        # ~log2(n) extra factorizations here)
         def factor(Hm):
             L, dv = jax.vmap(lambda A: ldlt_factor(A, block=block))(Hm)
             return L, dv

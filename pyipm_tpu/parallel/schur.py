@@ -133,6 +133,8 @@ class BlockResult(NamedTuple):
     iter_count: jnp.ndarray
     mu: jnp.ndarray
     nu: jnp.ndarray
+    hist: "MetricsHistory"   # per-iteration traces (T=0 unless
+    #                          IPMConfig.trace_metrics)
 
 
 def box_ci(lb_key: str = "lb", ub_key: Optional[str] = None):
@@ -610,6 +612,21 @@ def make_block_solver(spec: BlockNLP, mesh,
                     (sn.signal >= 0) & ~finite,
                     jnp.asarray(-3, jnp.int32), sn.signal))
 
+            if cfg.trace_metrics:
+                # per-iteration history buffers (replicated scalars; the
+                # per-block delta is summarized by its max — the binding
+                # shift); same contract as core/solver.py
+                t = sn.iter_count - 1
+                h = sn.hist
+                dmax = (jnp.max(sn.delta) if sn.delta.ndim
+                        else sn.delta)
+                sn = sn._replace(hist=MetricsHistory(
+                    kkt=h.kkt.at[t].set(sn.kkt),
+                    mu=h.mu.at[t].set(sn.mu),
+                    nu=h.nu.at[t].set(sn.nu),
+                    alpha=h.alpha.at[t].set(sn.alpha),
+                    delta=h.delta.at[t].set(dmax)))
+
             if cfg.Ftol is not None and ni == 0:
                 # per-inner-iteration Ftol, eq-only (pyipm.py:1756-1766)
                 f_new = fval_g(sn.x, th)
@@ -671,10 +688,11 @@ def make_block_solver(spec: BlockNLP, mesh,
             reg_retries=i32(0),
             lbfgs=lbfgs_init(0, 0, cfg.zeta0, dtype),
             x_old=jnp.zeros((0,), dtype), g=jnp.zeros((0,), dtype),
-            hist=MetricsHistory(
-                kkt=jnp.zeros((0, 4), dtype), mu=jnp.zeros((0,), dtype),
-                nu=jnp.zeros((0,), dtype), alpha=jnp.zeros((0,), dtype),
-                delta=jnp.zeros((0,), dtype)),
+            hist=(lambda T: MetricsHistory(
+                kkt=jnp.zeros((T, 4), dtype), mu=jnp.zeros((T,), dtype),
+                nu=jnp.zeros((T,), dtype), alpha=jnp.zeros((T,), dtype),
+                delta=jnp.zeros((T,), dtype)))(
+                    cfg.niter * cfg.miter if cfg.trace_metrics else 0),
         )
 
     def local_finalize(st: SolverState, th, ccdata) -> BlockResult:
@@ -682,14 +700,16 @@ def make_block_solver(spec: BlockNLP, mesh,
         return BlockResult(
             x=st.x, s=st.s, le=le_f, li=li_f, lc=lc_f,
             fval=fval_g(st.x, th), kkt=st.kkt, signal=st.signal,
-            iter_count=st.iter_count, mu=st.mu, nu=st.nu)
+            iter_count=st.iter_count, mu=st.mu, nu=st.nu, hist=st.hist)
 
     # ------------------------------------------------------------------
     blk = P(axis)            # leading K axis sharded over blocks
     rep = P()
     out_specs = BlockResult(
         x=blk, s=blk, le=blk, li=blk, lc=rep, fval=rep, kkt=rep,
-        signal=rep, iter_count=rep, mu=rep, nu=rep)
+        signal=rep, iter_count=rep, mu=rep, nu=rep,
+        hist=MetricsHistory(kkt=rep, mu=rep, nu=rep, alpha=rep,
+                            delta=rep))
     # SolverState sharding: per-block slabs on x/s/delta and the block
     # multipliers; everything else replicated (the checkpoint/pause unit
     # of the distributed solve)

@@ -351,3 +351,31 @@ def test_block_solver_pause_resume_checkpoint():
                                   np.asarray(straight.x))
     np.testing.assert_array_equal(np.asarray(resumed.lc),
                                   np.asarray(straight.lc))
+
+
+def test_block_solver_trace_metrics():
+    """trace_metrics=True records per-iteration history for the
+    distributed solve (observability parity with the single-device core;
+    utils.profiling.iteration_report renders it)."""
+    from pyipm_tpu.parallel.schur import (
+        make_block_solver, sample_block_general,
+    )
+    from pyipm_tpu.utils.profiling import iteration_report
+
+    K, d = 8, 3
+    spec, theta, ccdata, x0 = sample_block_general(
+        jax.random.key(15), K, d, me=1, ni=2, p=2, mc=1)
+    cfg = IPMConfig(float_dtype="float64", verbosity=0, niter=8,
+                    miter=20, trace_metrics=True)
+    fn = make_block_solver(spec, _mesh(8), cfg)
+    res = fn(x0, theta, ccdata=ccdata)
+    assert int(res.signal) == 1
+    n = int(res.iter_count)
+    kkt = np.asarray(res.hist.kkt)
+    assert kkt.shape == (cfg.niter * cfg.miter, 4)
+    assert np.all(kkt[:n].sum(axis=1) > 0)
+    assert np.all(kkt[n:] == 0)
+    np.testing.assert_allclose(kkt[n - 1], np.asarray(res.kkt),
+                               rtol=1e-12)
+    report = iteration_report(res)
+    assert str(n) in report.split("\n")[-1]
