@@ -10,9 +10,15 @@ both the ``lax.while_loop`` carry and the checkpoint unit.
     python examples/checkpoint_resume.py
 """
 
+import os
 import tempfile
 
-import jax
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax                                  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
@@ -52,5 +58,35 @@ def main():
           int(res.iter_count), "total iterations")
 
 
+def main_distributed():
+    """Same contract for the DISTRIBUTED block solver: the sharded
+    SolverState is the checkpoint unit, so multi-host failure recovery is
+    relaunch-same-world-size + restore + resume (parallel/launch.py)."""
+    import jax.numpy as jnp
+
+    from pyipm_tpu.parallel.schur import (
+        make_block_solver, sample_block_general,
+    )
+
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), ("model",))
+    spec, theta, ccdata, x0 = sample_block_general(
+        jax.random.key(3), 8, 3, me=1, ni=2, p=2, mc=1)
+    cfg = IPMConfig(float_dtype="float64", verbosity=0)
+    fn = make_block_solver(spec, mesh, cfg)
+
+    full = fn(x0, theta, ccdata=ccdata)
+    st = fn.run_budget(fn.init_state(x0, theta, ccdata=ccdata),
+                       theta, ccdata=ccdata, max_new_iters=3)
+    host = jax.tree.map(np.asarray, st)     # the checkpoint payload
+    st2 = jax.tree.map(jnp.asarray, host)   # "new process" restore
+    res = fn.finalize(fn.run(st2, theta, ccdata=ccdata),
+                      theta, ccdata=ccdata)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(full.x))
+    print("distributed resume bit-identical:",
+          int(res.iter_count), "total iterations over",
+          mesh.devices.size, "devices")
+
+
 if __name__ == "__main__":
     main()
+    main_distributed()
