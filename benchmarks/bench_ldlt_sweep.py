@@ -42,11 +42,13 @@ def main():
     A = G @ G.T + 0.5 * jnp.eye(n, dtype=jnp.float32)
 
     def timed(fn, *a, trials=3):
-        jax.block_until_ready(fn(*a))
+        # scalar fetch as the barrier: block_until_ready returns before
+        # execution finishes on a tunneled chip (see bench.py)
+        float(fn(*a))
         best = float("inf")
         for _ in range(trials):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*a))
+            float(fn(*a))
             best = min(best, time.perf_counter() - t0)
         return best
 

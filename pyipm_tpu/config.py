@@ -112,8 +112,12 @@ class IPMConfig:
         # bfloat16 MXU passes (8-bit mantissa) — which silently destroys
         # the factorization accuracy the f32 robustness stack depends on
         # (observed: Ktol hit rate 43% vs 100%, 10x the iterations).
-        # 'highest' = full f32 via multi-pass; the solver's matmuls are
-        # small, so the 6x MXU cost is noise next to the accuracy win.
+        # 'high' (3-pass bf16) is NOT sufficient either: on the 10k-QP
+        # headline fleet it halves the hit rate (0.49 vs 0.999) and
+        # doubles mean iterations (r03 probe, v5e) — the backtracking
+        # line search amplifies any direction error.  'highest' = full
+        # f32 via multi-pass; the solver's matmuls are small, so the 6x
+        # MXU cost is noise next to the accuracy win.
         assert self.matmul_precision in ("default", "high", "highest")
 
     # ------------------------------------------------------------------

@@ -80,11 +80,13 @@ def ldlt_factor(A, block: int = 128, segments: int = 8):
     ``segments`` contiguous chunks, each operating on its STATIC trailing
     submatrix (m shrinks chunk by chunk), cuts that to ~1.4x at
     segments=4 and ~1.2x at segments=8 while adding only ``segments``
-    loop bodies to the program.  v5e factor-only sweep at n=4352 (KKT
-    bench shape): block=128/seg=4: 9.7 TFLOP/s; 128/8: 11.5; 256/4: 2.1
-    (panel exceeds the Pallas panel-kernel bound, falling back to the
-    latency-bound unblocked loop); segments beyond 8 blow up compile
-    time for single-digit gains.
+    loop bodies to the program.  The (block, segments) landscape is
+    measured by benchmarks/bench_ldlt_sweep.py and VERSIONED under
+    benchmarks/results/ (r03, v5e, n=4352 factor-only: block=128 runs
+    11.4-12.9 TF/s across segments 2-12 — differences within session
+    noise — while block=256 collapses to ~2.1 TF/s: the panel exceeds
+    the Pallas panel-kernel bound and falls back to the latency-bound
+    unblocked loop).
     """
     n = A.shape[0]
     if n <= block:
