@@ -112,6 +112,11 @@ class BlockNLP:
     p: int = 0
     mc: int = 0
     hess_blk: Optional[Callable] = None
+    # declare ci_blk's Jacobian to be the IDENTITY (lower bounds
+    # ci = x - lb): the direction then adds Sigma to the diagonal and
+    # recovers slacks elementwise instead of paying d^3-sized identity
+    # einsums per block — a factorization-sized saving at large d
+    ci_identity: bool = False
 
     def __post_init__(self):
         assert (self.me > 0) == (self.ce_blk is not None)
@@ -119,6 +124,8 @@ class BlockNLP:
         assert (self.mc > 0) == (self.cc is not None)
         if self.mc:
             assert self.g_blk is not None and self.p > 0
+        if self.ci_identity:
+            assert self.ni == self.d, "ci_identity needs ci = x - lb"
 
 
 class BlockResult(NamedTuple):
@@ -162,6 +169,7 @@ def make_block_solver(spec: BlockNLP, mesh,
     dtype = cfg.np_dtype
     d, me, ni, p, mc = spec.d, spec.me, spec.ni, spec.p, spec.mc
     use_mehrotra = cfg.mu_strategy == "mehrotra" and ni > 0
+    iid = bool(spec.ci_identity) and ni == d  # Ji == I: elementwise paths
     n = d + me
     eps = float(np.finfo(dtype).eps)
     tiny = float(np.finfo(dtype).tiny)
@@ -229,7 +237,8 @@ def make_block_solver(spec: BlockNLP, mesh,
         if me:
             rx = rx - jnp.einsum("kmd,km->kd", Je_v(x, th), le)
         if ni:
-            rx = rx - jnp.einsum("knd,kn->kd", Ji_v(x, th), li)
+            rx = rx - (li if iid
+                       else jnp.einsum("knd,kn->kd", Ji_v(x, th), li))
             rs = li - mu / (s + guard)
             rci = ci_v(x, th) - s
         else:
@@ -293,15 +302,25 @@ def make_block_solver(spec: BlockNLP, mesh,
 
         W = W_v(x, th, le, li, w)                        # (Kl, d, d)
         if ni:
-            Ji = Ji_v(x, th)                             # (Kl, ni, d)
-            JiT = jnp.swapaxes(Ji, 1, 2)
             sig = li / (s + guard)                       # (Kl, ni)
-            A = W + jnp.einsum("kdn,kn,kne->kde", JiT, sig, Ji)
+            if iid:
+                Ji = JiT = None                          # never built
+                A = W.at[:, jnp.arange(d), jnp.arange(d)].add(sig)
+            else:
+                Ji = Ji_v(x, th)                         # (Kl, ni, d)
+                JiT = jnp.swapaxes(Ji, 1, 2)
+                A = W + jnp.einsum("kdn,kn,kne->kde", JiT, sig, Ji)
         else:
             Ji = jnp.zeros((Kl, 0, d), dtype)
             JiT = jnp.zeros((Kl, d, 0), dtype)
             sig = jnp.zeros((Kl, 0), dtype)
             A = W
+
+        def ji_mv(v):      # Ji @ v per block: (Kl, d) -> (Kl, ni)
+            return v if iid else jnp.einsum("knd,kd->kn", Ji, v)
+
+        def jiT_mv(w):     # Ji^T @ w per block: (Kl, ni) -> (Kl, d)
+            return w if iid else jnp.einsum("kdn,kn->kd", JiT, w)
         if me:
             Je = Je_v(x, th)                             # (Kl, me, d)
             JeT = jnp.swapaxes(Je, 1, 2)
@@ -365,7 +384,7 @@ def make_block_solver(spec: BlockNLP, mesh,
             dx = U[:, :d]
             dae = U[:, d:]
             if ni:
-                ds = jnp.einsum("knd,kd->kn", Ji, dx) - g4_
+                ds = ji_mv(dx) - g4_
                 db = sig * ds - g2_
             else:
                 ds = jnp.zeros((Kl, 0), dtype)
@@ -389,9 +408,9 @@ def make_block_solver(spec: BlockNLP, mesh,
             else:
                 r3e = g3e
             if ni:
-                r1 = r1 - jnp.einsum("knd,kn->kd", Ji, db)
+                r1 = r1 - jiT_mv(db)
                 r2 = g2_ - (sig * ds - db)
-                r4 = g4 - (jnp.einsum("knd,kd->kn", Ji, dx) - ds)
+                r4 = g4 - (ji_mv(dx) - ds)
             else:
                 r2, r4 = g2_, g4
             if has_cc:
@@ -414,15 +433,13 @@ def make_block_solver(spec: BlockNLP, mesh,
             CACHED factors (no refactorization) — ops/condensed.py's
             condensed_apply, distributed."""
             r1, r2, r3e, r3c, r4 = r
-            rr1 = r1 + (jnp.einsum("kdn,kn->kd", JiT, sig * r4 + r2)
-                        if ni else 0.0)
+            rr1 = r1 + (jiT_mv(sig * r4 + r2) if ni else 0.0)
             rr0 = jnp.concatenate([rr1, r3e], axis=1) if me else rr1
             Ue, eac, _ = solve_full(rr0, r3c)
             return recover(Ue, eac, r2, r4)
 
         def assemble_rhs0(g2_):
-            rr1 = (g1 + jnp.einsum("kdn,kn->kd", JiT, sig * g4 + g2_)
-                   if ni else g1)
+            rr1 = (g1 + jiT_mv(sig * g4 + g2_) if ni else g1)
             return jnp.concatenate([rr1, g3e], axis=1) if me else rr1
 
         def solve_refined(g2_):
@@ -472,12 +489,12 @@ def make_block_solver(spec: BlockNLP, mesh,
             """Same-matrix SOC: constraint-only residuals through the
             SAME factorization (zero gradient rows)."""
             g4n = -rci_n
-            rr1 = (jnp.einsum("kdn,kn->kd", JiT, sig * g4n)
+            rr1 = (jiT_mv(sig * g4n)
                    if ni else jnp.zeros((Kl, d), dtype))
             rr0 = (jnp.concatenate([rr1, -rce_n], axis=1) if me else rr1)
             Up, _, _ = solve_full(rr0, -rcc_n)
             dx_p = Up[:, :d]
-            ds_p = (jnp.einsum("knd,kd->kn", Ji, dx_p) - g4n
+            ds_p = (ji_mv(dx_p) - g4n
                     if ni else jnp.zeros((Kl, 0), dtype))
             return dx_p, ds_p
 
@@ -878,6 +895,7 @@ def make_separable_solver(spec: SeparableNLP, mesh,
                 if spec.me else None),
         me=spec.me,
         ci_blk=((lambda xk, th: xk - th["lb"]) if spec.has_box else None),
+        ci_identity=spec.has_box,
         ni=ni,
         g_blk=lambda xk, th: th["A"] @ xk,
         cc=lambda u, ccd: u - ccd["b"],
