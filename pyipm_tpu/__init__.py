@@ -24,6 +24,9 @@ Public API:
   - `solve` — functional single-instance solve.
   - `solve_batch` — vmapped scenario batching.
   - `solve_fleet` — heterogeneous-shape fleet solving (bucketed dispatch).
+  - `BlockNLP`, `make_block_solver` — one LARGE block-separable NLP
+    sharded over a device mesh (bordered Schur complement; general
+    per-block ce/ci + nonlinear coupling).
 """
 
 from pyipm_tpu.config import IPMConfig
@@ -32,6 +35,7 @@ from pyipm_tpu.core.solver import SolverState, SolverResult, make_solver, solve
 from pyipm_tpu.api import IPM
 from pyipm_tpu.parallel.batch import solve_batch
 from pyipm_tpu.parallel.fleet import solve_fleet
+from pyipm_tpu.parallel.schur import BlockNLP, make_block_solver
 
 __version__ = "0.1.0"
 
@@ -46,4 +50,6 @@ __all__ = [
     "solve",
     "solve_batch",
     "solve_fleet",
+    "BlockNLP",
+    "make_block_solver",
 ]
