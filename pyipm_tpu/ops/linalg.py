@@ -192,10 +192,13 @@ def unit_lower_inverse(L):
     return P
 
 
-def ldlt_factor_unrolled(A, panel: int = 16):
+def ldlt_factor_unrolled(A, panel: int = 16, want_panel_inv: bool = False):
     """Batched LDL^T of (B, n, n) with a STATICALLY UNROLLED panel
     factorization and matmul trailing updates — no sequential dispatch
-    chains, no custom calls.  Returns (L, d) like the other factorizations.
+    chains, no custom calls.  Returns (L, d) like the other
+    factorizations; with ``want_panel_inv`` additionally returns the
+    panel inverses (B, nb, panel, panel) for
+    :func:`ldlt_solve_unrolled_blocks` (they are computed anyway).
 
     The panel factor unrolls `panel` column steps as plain masked
     elementwise ops over (B, p, p); off-panel columns come from one
@@ -222,7 +225,10 @@ def ldlt_factor_unrolled(A, panel: int = 16):
         return jnp.stack(cols, axis=-1), jnp.stack(ds, axis=-1)
 
     if n <= panel:
-        return factor_panel(A)
+        L, dv = factor_panel(A)
+        if want_panel_inv:
+            return L, dv, unit_lower_inverse(L)[:, None]
+        return L, dv
 
     nb = -(-n // panel)
     npad = nb * panel
@@ -234,6 +240,7 @@ def ldlt_factor_unrolled(A, panel: int = 16):
 
     Lcols = []
     dparts = []
+    invs = []
     At = A                               # (B, m, m) trailing, m shrinks
     for k in range(nb):
         m = npad - k * panel
@@ -248,9 +255,59 @@ def ldlt_factor_unrolled(A, panel: int = 16):
         slab = jnp.concatenate([L11, L21], axis=1)  # (B, m, p)
         Lcols.append(jnp.pad(slab, ((0, 0), (npad - m, 0), (0, 0))))
         dparts.append(dk)
+        invs.append(L11inv)
     L = jnp.concatenate(Lcols, axis=-1)
     d = jnp.concatenate(dparts, axis=-1)
+    if want_panel_inv:
+        return L[:, :n, :n], d[:, :n], jnp.stack(invs, axis=1)
     return L[:, :n, :n], d[:, :n]
+
+
+def ldlt_solve_unrolled_blocks(L, d, invb, Bc, panel: int):
+    """Batched multi-rhs solve (L diag(d) L^T) X = Bc via block
+    forward/backward substitution with the panel inverses from
+    :func:`ldlt_factor_unrolled` — 2n^2 MACs of STATIC batched matmuls
+    per rhs, versus the ~2 log2(n) full n^3 matmuls a whole-matrix
+    log-depth inverse costs (40x the factorization flops at n=256).
+    Shapes: L (B, n, n), d (B, n), invb (B, nb, p, p), Bc (B, n, r)."""
+    Bb, n, r = Bc.shape
+    nb = invb.shape[1]
+    npad = nb * panel
+    dtype = L.dtype
+    if npad != n:
+        pad = npad - n
+        L = jnp.pad(L, ((0, 0), (0, pad), (0, pad)))
+        L = L + jnp.pad(jnp.zeros((n,), dtype), (0, pad),
+                        constant_values=1.0) * jnp.eye(npad, dtype=dtype)
+        d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=1.0)
+        Bc = jnp.pad(Bc, ((0, 0), (0, pad), (0, 0)))
+
+    # forward: y_k = invb_k (b_k - L[k, :k] y[:k]) — static slices, one
+    # batched matmul per panel step
+    ys = []
+    for k in range(nb):
+        j0 = k * panel
+        bk = Bc[:, j0:j0 + panel, :]
+        if k:
+            ycat = jnp.concatenate(ys, axis=1)          # (B, j0, r)
+            bk = bk - L[:, j0:j0 + panel, :j0] @ ycat
+        ys.append(invb[:, k] @ bk)
+    y = jnp.concatenate(ys, axis=1)
+    safe = jnp.where(jnp.abs(d) > 0, d, jnp.ones((), dtype))
+    z = y / safe[..., None]
+
+    # backward with L^T: x_k = invb_k^T (z_k - L[k+1:, k]^T x[k+1:])
+    xs = [None] * nb
+    for k in reversed(range(nb)):
+        j0 = k * panel
+        zk = z[:, j0:j0 + panel, :]
+        if k < nb - 1:
+            xcat = jnp.concatenate(xs[k + 1:], axis=1)  # (B, npad-j1, r)
+            zk = zk - jnp.swapaxes(
+                L[:, j0 + panel:, j0:j0 + panel], 1, 2) @ xcat
+        xs[k] = jnp.swapaxes(invb[:, k], 1, 2) @ zk
+    x = jnp.concatenate(xs, axis=1)
+    return x[:, :n, :]
 
 
 def ldlt_solve_inv(L, d, b):
@@ -749,25 +806,15 @@ def batched_reg_factor(H, delta, mu, *, neq: int, eps: float,
     shift_diag = (dsc * dsc) * ex[None, :]               # (B, n)
     eq_diag = (dsc * dsc) * eeq[None, :]
 
-    if n <= 512:
-        # batched small/mid blocks: lane kernels (n <= 128) or the
-        # statically-unrolled panel factorization (v5e, B=1024, n=256:
-        # 267 GF/s vs 86 for vmap(ldlt_factor) and 161 for batched
-        # Cholesky), plus ONE log-depth inverse per factorization reused
-        # by every multi-rhs solve — main rhs + border columns +
-        # refinement + SOC, ~5 solves per factorization (measured 26 ms
-        # vs 73 ms per 10-rhs solve for batched triangular_solve)
-        if n <= 128:
-            from pyipm_tpu.ops.pallas_ldlt import ldlt_factor_small
+    if n <= 128:
+        # batched small blocks: lane-kernel factorization + ONE log-depth
+        # inverse per factorization reused by every multi-rhs solve —
+        # main rhs + border columns + refinement + SOC, ~5 solves per
+        # factorization (the inverse is ~2 log2(n) tiny matmuls here)
+        from pyipm_tpu.ops.pallas_ldlt import ldlt_factor_small
 
-            def factor_ld(Hm):                           # (B,n,n)
-                return jax.vmap(ldlt_factor_small)(Hm)
-        else:
-            def factor_ld(Hm):
-                return ldlt_factor_unrolled(Hm, panel=32)
-
-        def factor(Hm):
-            L, dv = factor_ld(Hm)
+        def factor(Hm):                                  # (B,n,n)
+            L, dv = jax.vmap(ldlt_factor_small)(Hm)
             Linv = unit_lower_inverse(L)
             return L, dv, Linv
 
@@ -777,6 +824,24 @@ def batched_reg_factor(H, delta, mu, *, neq: int, eps: float,
             y = jnp.einsum("bij,bjr->bir", Linv, Bc)
             z = y / safe[..., None]
             return jnp.einsum("bji,bjr->bir", Linv, z)
+    elif n <= 512:
+        # batched mid blocks: statically-unrolled panel factorization
+        # (v5e, B=1024, n=256: 267 GF/s vs 86 for vmap(ldlt_factor), 161
+        # for batched Cholesky) whose panel inverses feed block
+        # forward/backward substitution — same per-solve wall as a
+        # whole-matrix log-depth inverse (24 vs 26 ms per 10-rhs solve)
+        # WITHOUT its ~2 log2(n) full-size matmuls per factorization
+        # (47 ms, i.e. 40x the factorization flops at n=256)
+        _PANEL = 32
+
+        def factor(Hm):
+            return ldlt_factor_unrolled(Hm, panel=_PANEL,
+                                        want_panel_inv=True)
+
+        def fsolve(facs, Bc):
+            L, dv, invb = facs
+            return ldlt_solve_unrolled_blocks(L, dv, invb, Bc,
+                                              panel=_PANEL)
     else:
         # large blocks: bounded-compile-size blocked factorization under
         # vmap + batched triangular solves (the n^2 inverse would cost
