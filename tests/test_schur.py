@@ -379,3 +379,38 @@ def test_block_solver_trace_metrics():
                                rtol=1e-12)
     report = iteration_report(res)
     assert str(n) in report.split("\n")[-1]
+
+
+def test_ci_identity_fast_path_matches_general():
+    """ci_identity=True (bounds fast path: Sigma on the diagonal,
+    elementwise slack recovery) must reproduce the general-Jacobian path
+    on the same problem."""
+    from pyipm_tpu.parallel.schur import BlockNLP, make_block_solver
+
+    K, d, mc = 8, 4, 2
+    key = jax.random.key(16)
+    kq, kc, ka, kx = jax.random.split(key, 4)
+    G = jax.random.normal(kq, (K, d, d), jnp.float64) / np.sqrt(d)
+    Q = jnp.einsum("kij,klj->kil", G, G) + jnp.eye(d, dtype=jnp.float64)
+    c = jax.random.normal(kc, (K, d), jnp.float64)
+    A = jax.random.normal(ka, (K, mc, d), jnp.float64) / np.sqrt(K * d)
+    xfeas = jax.random.normal(kx, (K, d), jnp.float64) * 0.1
+    theta = {"Q": Q, "c": c, "A": A,
+             "lb": jnp.full((K, d), -2.0, jnp.float64)}
+    ccdata = {"b": jnp.einsum("kcd,kd->c", A, xfeas)}
+    kw = dict(
+        f_blk=lambda xk, th: 0.5 * xk @ (th["Q"] @ xk) + th["c"] @ xk,
+        d=d, ci_blk=lambda xk, th: xk - th["lb"], ni=d,
+        g_blk=lambda xk, th: th["A"] @ xk,
+        cc=lambda u, ccd: u - ccd["b"], p=mc, mc=mc)
+    cfg = IPMConfig(float_dtype="float64", verbosity=0, niter=8, miter=20)
+    mesh = _mesh(8)
+    x0 = jnp.zeros((K, d), jnp.float64)
+    r_fast = make_block_solver(BlockNLP(ci_identity=True, **kw),
+                               mesh, cfg)(x0, theta, ccdata=ccdata)
+    r_gen = make_block_solver(BlockNLP(ci_identity=False, **kw),
+                              mesh, cfg)(x0, theta, ccdata=ccdata)
+    assert int(r_fast.signal) == int(r_gen.signal) == 1
+    assert int(r_fast.iter_count) == int(r_gen.iter_count)
+    np.testing.assert_allclose(np.asarray(r_fast.x), np.asarray(r_gen.x),
+                               rtol=1e-10, atol=1e-12)
