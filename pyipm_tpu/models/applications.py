@@ -259,3 +259,56 @@ def make_mpc_batch_solver(config: IPMConfig, horizon: int, jit: bool = True):
 
 def mpc_x0(batch: int, horizon: int, nu: int = 2, dtype=jnp.float32):
     return jnp.zeros((batch, horizon * nu), dtype)
+
+
+# ----------------------------------------------------------------------
+# Multi-agent resource allocation — the DISTRIBUTED block workload
+# (parallel/schur.py BlockNLP): K agents each minimize a local quadratic
+# cost under local linear constraints and per-resource consumption caps
+# coupling ALL agents:
+#
+#     min   sum_k 0.5 x_k' Q_k x_k + c_k' x_k
+#     s.t.  Ce_k x_k = e_k            (local allocations, e.g. demand)
+#           x_k >= 0                  (nonnegative activity levels)
+#           sum_k R_k x_k = budget    (shared resource pool, mc resources)
+#
+# The classic decomposition testbed (dual decomposition / ADMM papers use
+# exactly this shape); here it solves as ONE interior-point program with
+# the coupling reduced over the mesh by the bordered Schur complement.
+class ResourceAllocData(NamedTuple):
+    theta: dict              # per-agent {Q, c, Ce, e, R, lb} (K, ...)
+    ccdata: dict             # {"budget": (mc,)}
+
+
+def sample_resource_alloc(key, nagents: int, nvar: int, nres: int = 4,
+                          neq: int = 1, dtype=jnp.float32):
+    """Random feasible instance: consumption matrices R_k >= 0, budget set
+    from a strictly positive feasible allocation."""
+    kq, kc, ke, kr, kx = jax.random.split(key, 5)
+    K, d = nagents, nvar
+    G = jax.random.normal(kq, (K, d, d), dtype) / jnp.sqrt(d)
+    Q = jnp.einsum("kij,klj->kil", G, G) + jnp.eye(d, dtype=dtype)[None]
+    c = jax.random.normal(kc, (K, d), dtype)
+    Ce = jax.random.normal(ke, (K, neq, d), dtype) / jnp.sqrt(d)
+    R = jnp.abs(jax.random.normal(kr, (K, nres, d), dtype)) / (K * d)
+    xfeas = jnp.abs(jax.random.normal(kx, (K, d), dtype)) + 0.5
+    e = jnp.einsum("kmd,kd->km", Ce, xfeas)
+    budget = jnp.einsum("krd,kd->r", R, xfeas)
+    theta = {"Q": Q, "c": c, "Ce": Ce, "e": e, "R": R,
+             "lb": jnp.zeros((K, d), dtype)}
+    return ResourceAllocData(theta=theta, ccdata={"budget": budget})
+
+
+def make_resource_alloc_spec(nvar: int, nres: int = 4, neq: int = 1):
+    """BlockNLP spec for :func:`sample_resource_alloc` instances (use with
+    parallel.schur.make_block_solver over a ``model`` mesh axis)."""
+    from pyipm_tpu.parallel.schur import BlockNLP
+
+    return BlockNLP(
+        f_blk=lambda xk, th: 0.5 * xk @ (th["Q"] @ xk) + th["c"] @ xk,
+        d=nvar,
+        ce_blk=lambda xk, th: th["Ce"] @ xk - th["e"], me=neq,
+        ci_blk=lambda xk, th: xk - th["lb"], ni=nvar, ci_identity=True,
+        g_blk=lambda xk, th: th["R"] @ xk,
+        cc=lambda u, ccd: u - ccd["budget"], p=nres, mc=nres,
+    )

@@ -95,3 +95,36 @@ def test_mpc():
         lambda d: app.make_mpc_problem(d, T).f_val(
             jnp.zeros((T * nu,), jnp.float32)))(data))
     assert np.all(np.asarray(res.fval) <= f0 + 1e-5)
+
+
+def test_resource_allocation_distributed():
+    """Multi-agent resource allocation solves as ONE interior-point
+    program over the 8-device mesh: all local constraints + the shared
+    resource pool satisfied at the KKT point."""
+    import jax
+
+    from pyipm_tpu.models.applications import (
+        make_resource_alloc_spec, sample_resource_alloc,
+    )
+    from pyipm_tpu.parallel.schur import make_block_solver
+
+    K, d, nres = 16, 6, 3
+    data = sample_resource_alloc(jax.random.key(0), K, d, nres=nres,
+                                 dtype=jnp.float64)
+    spec = make_resource_alloc_spec(d, nres=nres)
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), ("model",))
+    cfg = IPMConfig(float_dtype="float64", verbosity=0, niter=10,
+                    miter=25)
+    fn = make_block_solver(spec, mesh, cfg)
+    res = fn(jnp.full((K, d), 1.0, jnp.float64), data.theta,
+             ccdata=data.ccdata)
+    assert int(res.signal) == 1, np.asarray(res.kkt)
+    x = np.asarray(res.x)
+    assert np.all(x >= -1e-8)                      # nonnegativity
+    th = data.theta
+    eres = np.asarray(jnp.einsum("kmd,kd->km", th["Ce"], res.x)
+                      - th["e"])
+    assert np.linalg.norm(eres.ravel()) <= 1e-4    # local demands
+    pool = np.asarray(jnp.einsum("krd,kd->r", th["R"], res.x))
+    np.testing.assert_allclose(pool, np.asarray(data.ccdata["budget"]),
+                               atol=1e-4)          # shared pool binding
