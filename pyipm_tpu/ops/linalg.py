@@ -875,54 +875,75 @@ def batched_reg_factor(H, delta, mu, *, neq: int, eps: float,
             lambda u, v: jnp.where(
                 mask.reshape((-1,) + (1,) * (u.ndim - 1)), u, v), a, b)
 
+    def shift_ok(dv):
+        """Escalation-loop exit test: correct inertia + finite pivots
+        ALONE, like the single-device loop (see _reg_solve_ldlt cond_fn:
+        exiting on conditioning as well would never be met for a
+        genuinely rank-deficient block and would escalate delta to
+        overflow, 40 wasted factorizations per iteration)."""
+        finite = jnp.all(jnp.isfinite(dv), axis=-1)
+        return finite & (jnp.sum(dv < 0, axis=-1) == neq)
+
     facs0 = factor(Hs)
     ok0 = inertia_ok(pivots(facs0))
     zero_b = jnp.zeros((Bn,), dtype)
 
-    if neq:
-        dv0 = pivots(facs0)
-        ad0 = jnp.abs(dv0)
-        rcond0 = (jnp.min(ad0, axis=-1)
-                  / jnp.maximum(jnp.max(ad0, axis=-1), tiny))
-        illcond = (~jnp.all(jnp.isfinite(dv0), axis=-1)) | (rcond0 <= eps_)
-        reg = _eq_reg_term(mu, reg_coef, eta, beta, dtype)
-        eq_shift = jnp.where((~ok0) & illcond, reg, zero_b)  # (B,)
-    else:
-        eq_shift = zero_b
-    Hb = Hs - eq_shift[:, None, None] * jax.vmap(jnp.diag)(eq_diag)
+    def fix(_):
+        if neq:
+            dv0 = pivots(facs0)
+            ad0 = jnp.abs(dv0)
+            rcond0 = (jnp.min(ad0, axis=-1)
+                      / jnp.maximum(jnp.max(ad0, axis=-1), tiny))
+            illcond = ((~jnp.all(jnp.isfinite(dv0), axis=-1))
+                       | (rcond0 <= eps_))
+            reg = _eq_reg_term(mu, reg_coef, eta, beta, dtype)
+            eq_shift = jnp.where((~ok0) & illcond, reg, zero_b)  # (B,)
+        else:
+            eq_shift = zero_b
+        Hb = Hs - eq_shift[:, None, None] * jax.vmap(jnp.diag)(eq_diag)
 
-    # per-block warm-started entry shift, only where the inertia is wrong
-    d1 = jnp.where(~ok0,
-                   jnp.where(delta == 0, delta0_,
-                             jnp.maximum(delta / 2, delta0_)),
-                   zero_b)
+        # per-block warm-started entry shift, only where inertia is wrong
+        d1 = jnp.where(~ok0,
+                       jnp.where(delta == 0, delta0_,
+                                 jnp.maximum(delta / 2, delta0_)),
+                       zero_b)
 
-    def shifted(dlt):
-        return Hb + dlt[:, None, None] * jax.vmap(jnp.diag)(shift_diag)
+        def shifted(dlt):
+            return Hb + dlt[:, None, None] * jax.vmap(jnp.diag)(shift_diag)
 
-    facs1 = factor(shifted(d1))
-    facs1 = tree_where(ok0, facs0, facs1)   # good blocks keep 1st factors
-    bad1 = (~ok0) & (~inertia_ok(pivots(facs1)))
+        facs1 = factor(shifted(d1))
+        facs1 = tree_where(ok0, facs0, facs1)  # good blocks keep factors
+        bad1 = (~ok0) & (~shift_ok(pivots(facs1)))
 
-    def cond_fn(c):
-        _, _, bad, t = c
-        return jnp.any(bad) & (t < max_retries)
+        def cond_fn(c):
+            _, _, bad, t = c
+            return jnp.any(bad) & (t < max_retries)
 
-    def body_fn(c):
-        dlt, facs, bad, t = c
-        dlt = jnp.where(bad, dlt * 10.0, dlt)
-        newfacs = factor(shifted(dlt))
-        facs = tree_where(bad, newfacs, facs)
-        bad = bad & (~inertia_ok(pivots(facs)))
-        return dlt, facs, bad, t + 1
+        def body_fn(c):
+            dlt, facs, bad, t = c
+            dlt = jnp.where(bad, dlt * 10.0, dlt)
+            newfacs = factor(shifted(dlt))
+            facs = tree_where(bad, newfacs, facs)
+            bad = bad & (~shift_ok(pivots(facs)))
+            return dlt, facs, bad, t + 1
 
-    d_f, facs, _, retries = lax.while_loop(
-        cond_fn, body_fn, (d1, facs1, bad1, jnp.zeros((), jnp.int32)))
+        d_f, facs, _, retries = lax.while_loop(
+            cond_fn, body_fn, (d1, facs1, bad1, jnp.zeros((), jnp.int32)))
 
-    # warm start carries forward; applied shift is d_f where fixed, 0 where
-    # the first factorization was kept
-    delta_new = jnp.where(ok0, delta, d_f)
-    delta_applied = jnp.where(ok0, zero_b, d_f)
+        # warm start carries forward; applied shift is d_f where fixed,
+        # 0 where the first factorization was kept
+        delta_new = jnp.where(ok0, delta, d_f)
+        delta_applied = jnp.where(ok0, zero_b, d_f)
+        return facs, delta_new, delta_applied, eq_shift, retries
+
+    def keep(_):
+        return (facs0, delta, zero_b, zero_b, jnp.zeros((), jnp.int32))
+
+    # skip the entire retry phase when every block's first factorization
+    # already has correct inertia (the steady state of a converging
+    # solve) — the single-device lax.cond(~ok0, fix, keep) behavior
+    facs, delta_new, delta_applied, eq_shift, retries = lax.cond(
+        jnp.any(~ok0), fix, keep, None)
 
     def solve_fn(Bc):
         # original coordinates: x = D (scaled_solve(D rhs)), batched

@@ -166,6 +166,11 @@ def make_block_solver(spec: BlockNLP, mesh,
     """
     cfg = config if config is not None else IPMConfig(float_dtype="float32")
     cfg = cfg.resolve_mu_strategy(spec.ni)  # 'auto' -> mehrotra if ineq
+    if cfg.verbosity > 0:
+        # per-iteration debug printing inside shard_map would emit one
+        # interleaved line PER DEVICE (the documented deviation above);
+        # the final BlockResult reports signal/kkt/iter_count instead
+        cfg = cfg.replace(verbosity=0)
     dtype = cfg.np_dtype
     d, me, ni, p, mc = spec.d, spec.me, spec.ni, spec.p, spec.mc
     use_mehrotra = cfg.mu_strategy == "mehrotra" and ni > 0
@@ -511,9 +516,12 @@ def make_block_solver(spec: BlockNLP, mesh,
                  mu_new) = direction(st.x, st.s, le, li, lc, th, ccdata,
                                      st.mu, st.delta)
             # under 'mehrotra' the barrier evolves per iteration inside
-            # the direction solve (core/solver.py does the same)
+            # the direction solve (core/solver.py does the same).
+            # reg_retries is declared REPLICATED in the state specs while
+            # each device's escalation loop trips independently — psum to
+            # the global total before accumulating
             st = st._replace(mu=mu_new, delta=delta_new,
-                             reg_retries=st.reg_retries + retries)
+                             reg_retries=st.reg_retries + _psum(retries))
             # multiplier sign flip (reference pyipm.py:1723-1725)
             dle, dli, dlc = -dae, -db, -dac
 
@@ -632,11 +640,13 @@ def make_block_solver(spec: BlockNLP, mesh,
             if cfg.trace_metrics:
                 # per-iteration history buffers (replicated scalars; the
                 # per-block delta is summarized by its max — the binding
-                # shift); same contract as core/solver.py
+                # shift, pmax-reduced so the 'replicated' value really is
+                # replicated across devices); same contract as
+                # core/solver.py
                 t = sn.iter_count - 1
                 h = sn.hist
-                dmax = (jnp.max(sn.delta) if sn.delta.ndim
-                        else sn.delta)
+                dmax = (lax.pmax(jnp.max(sn.delta), axis_name=axis)
+                        if sn.delta.ndim else sn.delta)
                 sn = sn._replace(hist=MetricsHistory(
                     kkt=h.kkt.at[t].set(sn.kkt),
                     mu=h.mu.at[t].set(sn.mu),

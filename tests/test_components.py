@@ -372,3 +372,43 @@ def test_reg_solve_gate_not_triggered_on_stable_systems():
     assert float(delta_new) == 0.0
     r = np.linalg.norm(A @ np.asarray(dz) - g) / np.linalg.norm(g)
     assert r <= 1e-10, r
+
+
+def test_batched_reg_factor_rank_deficient_eq_block_no_overflow():
+    """A block with a ZERO equality-Jacobian row keeps rcond <= eps no
+    matter how large the primal shift — the escalation loop must exit on
+    inertia alone (the single-device rule) instead of burning
+    max_reg_retries and overflowing the warm-started delta."""
+    import jax
+
+    from pyipm_tpu.config import IPMConfig
+    from pyipm_tpu.ops.linalg import batched_reg_factor
+
+    cfg = IPMConfig(float_dtype="float32")
+    B, d, me = 4, 6, 1
+    n = d + me
+    rng = np.random.default_rng(0)
+    G = rng.standard_normal((B, d, d))
+    W = G @ np.swapaxes(G, 1, 2) + 0.5 * np.eye(d)
+    H = np.zeros((B, n, n), np.float32)
+    H[:, :d, :d] = W
+    Je = rng.standard_normal((B, me, d)).astype(np.float32)
+    Je[0] = 0.0                         # rank-deficient equality block
+    H[:, d:, :d] = Je
+    H[:, :d, d:] = np.swapaxes(Je, 1, 2)
+
+    rhs = jnp.asarray(rng.standard_normal((B, n, 1)).astype(np.float32))
+
+    def run(Hm, dl, rhs_):
+        solve_fn, delta_new, retries, applied = batched_reg_factor(
+            Hm, dl, jnp.asarray(0.01, jnp.float32), neq=me, eps=cfg.eps,
+            reg_coef=cfg.reg_coef, eta=cfg.eta, beta=cfg.beta,
+            delta0=cfg.delta0, max_retries=40)
+        return solve_fn(rhs_), delta_new, retries
+
+    X, delta_new, retries = jax.jit(run)(
+        jnp.asarray(H), jnp.zeros((B,), jnp.float32), rhs)
+    assert int(retries) <= 3, int(retries)
+    dn = np.asarray(delta_new)
+    assert np.all(np.isfinite(dn)) and np.all(dn < 1.0), dn
+    assert np.all(np.isfinite(np.asarray(X)))
