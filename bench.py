@@ -115,15 +115,15 @@ def main():
     data = sample_qp_batch(key, B, D, nlin=L)
     x0 = jnp.zeros((B, D), jnp.float32)
 
-    # first-wave sweep on v5e with the lane-kernel SOC dispatch (waves of
-    # 2*fw, B=10k, n=16): adaptive fw=8: 58.8k iters/s @ hit 0.9987;
-    # fw=10: 78.7k @ 0.9991; fw=12: 92.7k @ 0.9994; fw=13: 93.7k @
-    # 0.9996; fw=14: 86.3k @ 0.9992; fw=16: 82.9k @ 0.9993; fw=24: 67.8k
-    # @ 0.9987; fw=32: 56.9k @ 0.9996; lockstep: 5.9k @ 0.998.  mehrotra
+    # first-wave sweeps on v5e (waves of 2*fw, B=10k, n=16).  r2 sweep:
+    # adaptive fw=8: 58.8k iters/s; fw=12: 92.7k; fw=13: 93.7k; fw=16:
+    # 82.9k; fw=32: 56.9k; lockstep: 5.9k.  r3 re-sweep under the
+    # round-3 solver (residual gate, shared loop engine): fw=10: 80.2k;
+    # fw=12: 89.1k (best); fw=13: 83.9k; fw=14: 86.6k; fw=16: 84.9k —
+    # hit 0.999x everywhere, 12/13/14 within session noise.  mehrotra
     # fw=6: 9.2k solves/s; fw=8: 13.7k @ 0.9997; fw=10: 10.7k @ 0.9999.
-    # fw=13/8 are the measured optima at Ktol-hit parity (>= 0.998
-    # everywhere).
-    fw_default = 8 if strategy == "mehrotra" else 13
+    # fw=12/8 are the current measured optima at Ktol-hit parity.
+    fw_default = 8 if strategy == "mehrotra" else 12
     fw = int(os.environ.get("BENCH_FIRST_WAVE", fw_default))
     wv = int(os.environ.get("BENCH_WAVE", 2 * fw))
     solver = make_wave_batch_solver(
