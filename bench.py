@@ -89,6 +89,13 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
+
+    # persistent compilation cache: the bench compiles ~10 distinct wave
+    # shapes; warm repeat runs cut minutes of compile wall and the
+    # session-to-session variance it causes (timing excludes compiles
+    # either way)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from pyipm_tpu.config import IPMConfig
