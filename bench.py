@@ -133,9 +133,13 @@ def main():
     fw_default = 8 if strategy == "mehrotra" else 12
     fw = int(os.environ.get("BENCH_FIRST_WAVE", fw_default))
     wv = int(os.environ.get("BENCH_WAVE", 2 * fw))
+    # geometric wave growth for the straggler tail (r3 sweep at fw=12:
+    # growth 1.0: 88.6k iters/s; 1.5: 97.6k; 2.0: 84.7k — fewer host
+    # syncs/dispatches at the same 0.9989 hit rate)
+    wg = float(os.environ.get("BENCH_WAVE_GROWTH", 1.5))
     solver = make_wave_batch_solver(
         config=cfg, family=lambda d: make_qp_problem(d, D, L),
-        first_wave=fw, wave=wv, min_pad=256)
+        first_wave=fw, wave=wv, wave_growth=wg, min_pad=256)
 
     # warm every wave-bucket compilation once (excluded from timing); also
     # the reported convergence stats

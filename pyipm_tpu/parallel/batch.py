@@ -83,6 +83,8 @@ def make_wave_batch_solver(problem: Optional[Problem] = None,
                            config: Optional[IPMConfig] = None, *,
                            family: Optional[Callable] = None,
                            first_wave: int = 16, wave: int = 32,
+                           wave_growth: float = 1.0,
+                           max_wave: int = 512,
                            min_pad: int = 64, max_waves: int = 1000):
     """Batched solver that retires converged instances in waves.
 
@@ -145,6 +147,7 @@ def make_wave_batch_solver(problem: Optional[Problem] = None,
             data_batch = jnp.zeros((B, 0), x0_batch.dtype)
         st = init_v(x0_batch, data_batch)
         st = runb_v(st, data_batch, jnp.asarray(first_wave, jnp.int32))
+        wv = float(wave)
         for _ in range(max_waves):
             sig = np.asarray(st.signal)        # the one host sync per wave
             n_act = int(np.sum(sig == 0))
@@ -156,8 +159,13 @@ def make_wave_batch_solver(problem: Optional[Problem] = None,
             idx = jnp.asarray(
                 np.argsort(sig != 0, kind="stable")[:P], jnp.int32)
             sub = runb_v(gather(st, idx), gather(data_batch, idx),
-                         jnp.asarray(wave, jnp.int32))
+                         jnp.asarray(int(wv), jnp.int32))
             st = scatter(st, idx, sub)
+            # optional geometric growth: the straggler tail is a few % of
+            # instances, so later waves trade wasted slots for fewer
+            # host syncs/dispatches (budget is a runtime arg — no new
+            # compile per size)
+            wv = min(wv * wave_growth, float(max_wave))
         else:
             # defensive: finish any remainder unbudgeted (unreachable for
             # sane wave sizes — every wave makes progress toward the niter
