@@ -51,7 +51,13 @@ def _factor_kernel(a_ref, l_ref, d_ref):
 
     Per column j: pivot d_j = A[j,j,:], scaled column becomes L[:,j,:],
     rank-1 trailing update A -= col x col * d — all (n, n, LANE)
-    elementwise VPU work, no cross-lane traffic."""
+    elementwise VPU work, no cross-lane traffic.
+
+    L is built IN PLACE in A's storage (each finished column j is
+    overwritten with L[:, j]; the rank-1 update is masked to the strictly
+    trailing block so finished columns stay intact).  Carrying one
+    (n, n, LANE) buffer instead of two halves the scoped-VMEM footprint,
+    which is what bounds the lane-kernel system size."""
     A = a_ref[:]
     n = A.shape[0]
     dtype = A.dtype
@@ -60,7 +66,7 @@ def _factor_kernel(a_ref, l_ref, d_ref):
     rows2 = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
     def body(j, carry):
-        A, L, dv = carry
+        A, dv = carry
         rm = (rows3 == j).astype(dtype)
         cm = (cols3 == j).astype(dtype)
         dj = jnp.sum(A * rm * cm, axis=(0, 1))                 # (LANE,)
@@ -70,14 +76,15 @@ def _factor_kernel(a_ref, l_ref, d_ref):
                         jnp.zeros((), dtype))
         Lcol = col + jnp.where(rows2 == j, jnp.ones((), dtype),
                                jnp.zeros((), dtype))
-        L = jnp.where(cols3 == j, Lcol[:, None, :], L)
         dv = jnp.where(rows2 == j, dj[None, :], dv)            # dv (n, LANE)
-        A = A - col[:, None, :] * col[None, :, :] * dj[None, None, :]
-        return A, L, dv
+        upd = col[:, None, :] * col[None, :, :] * dj[None, None, :]
+        trailing = ((rows3 > j) & (cols3 > j)).astype(dtype)
+        A = A - upd * trailing
+        A = jnp.where(cols3 == j, Lcol[:, None, :], A)
+        return A, dv
 
-    L0 = jnp.zeros_like(A)
     d0 = jnp.zeros((n, A.shape[2]), dtype)
-    _, L, dv = lax.fori_loop(0, n, body, (A, L0, d0))
+    L, dv = lax.fori_loop(0, n, body, (A, d0))
     l_ref[:] = L
     d_ref[:] = dv
 
@@ -297,17 +304,27 @@ def _use_pallas(n: int) -> bool:
 # log-depth-inverse solve (ops/linalg.ldlt_factor_unrolled /
 # ldlt_solve_inv) remain the fallback at larger n and on every other
 # backend/dtype.  Dispatch below encodes exactly that crossover.
-LANE_MAX_N = 48          # scoped-VMEM-safe lane-kernel system size
+LANE_MAX_N = 64          # scoped-VMEM-safe lane-kernel system size
+#   (was 48: the factor kernel carried separate A and L buffers; r3's
+#   in-place variant halves the carry — n=64 compiles and is verified
+#   accurate at B up to 2048; n=96 still exceeds the scoped-VMEM bound)
+LANE_ALWAYS_N = 48       # measured always-wins bound (r03 lane sweep:
+#   lane wins every batch size for n <= 48; at n = 64 it wins only for
+#   very large batches — B=8192: 20.9 vs 24.3 ms; B=512-2048 the
+#   unrolled XLA form is faster)
 LANE_MIN_BATCH = LANE    # at least one full 128-lane grid step
+LANE_N64_MIN_BATCH = 4096
 
 
 def _lane_dispatch(n: int, batch: int, dtype) -> bool:
     if _FORCE_DISABLE:
         return False
     try:
-        return (n <= LANE_MAX_N and batch >= LANE_MIN_BATCH
-                and dtype == jnp.float32
-                and jax.default_backend() == "tpu")
+        if dtype != jnp.float32 or jax.default_backend() != "tpu":
+            return False
+        if n <= LANE_ALWAYS_N:
+            return batch >= LANE_MIN_BATCH
+        return n <= LANE_MAX_N and batch >= LANE_N64_MIN_BATCH
     except Exception:
         return False
 
