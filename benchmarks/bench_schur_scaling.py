@@ -145,7 +145,8 @@ def mode_million(args):
             break
     mesh = jax.sharding.Mesh(np.asarray(devs[:nmesh]), ("model",))
     cfg = IPMConfig(float_dtype="float32", verbosity=0,
-                    niter=args.niter, miter=args.miter)
+                    niter=args.niter, miter=args.miter,
+                    mu_strategy=args.mu_strategy)
     spec, data, x0 = sample_separable(jax.random.key(7), K, d, mc)
     fn = make_separable_solver(spec, mesh, cfg)
 
@@ -176,6 +177,7 @@ def mode_million(args):
         "nvars": nvars, "blocks": K, "d": d, "mc": mc,
         "mesh_model": nmesh,
         "iters": iters, "signal": int(res.signal),
+        "mu_strategy": cfg.mu_strategy,
         "kkt": [float(v) for v in kkt],
         "converged": bool(np.all(kkt <= cfg.Ktol * 10)),
         "compile_wall_s": round(compile_wall - wall, 3),
@@ -198,6 +200,8 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--niter", type=int, default=10)
     ap.add_argument("--miter", type=int, default=30)
+    ap.add_argument("--mu-strategy", default="adaptive",
+                    choices=["adaptive", "mehrotra", "auto"])
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
