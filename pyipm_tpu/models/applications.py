@@ -299,16 +299,26 @@ def sample_resource_alloc(key, nagents: int, nvar: int, nres: int = 4,
     return ResourceAllocData(theta=theta, ccdata={"budget": budget})
 
 
-def make_resource_alloc_spec(nvar: int, nres: int = 4, neq: int = 1):
+def make_resource_alloc_spec(nvar: int, nres: int = 4, neq: int = 1,
+                             cap: str = "eq"):
     """BlockNLP spec for :func:`sample_resource_alloc` instances (use with
-    parallel.schur.make_block_solver over a ``model`` mesh axis)."""
+    parallel.schur.make_block_solver over a ``model`` mesh axis).
+
+    ``cap='eq'`` makes the pool binding (sum_k R_k x_k = budget);
+    ``cap='ineq'`` makes it a true CAP (sum_k R_k x_k <= budget) via the
+    coupling-inequality class."""
     from pyipm_tpu.parallel.schur import BlockNLP
 
-    return BlockNLP(
+    kw = dict(
         f_blk=lambda xk, th: 0.5 * xk @ (th["Q"] @ xk) + th["c"] @ xk,
         d=nvar,
         ce_blk=lambda xk, th: th["Ce"] @ xk - th["e"], me=neq,
         ci_blk=lambda xk, th: xk - th["lb"], ni=nvar, ci_identity=True,
-        g_blk=lambda xk, th: th["R"] @ xk,
-        cc=lambda u, ccd: u - ccd["budget"], p=nres, mc=nres,
+        g_blk=lambda xk, th: th["R"] @ xk, p=nres,
     )
+    if cap == "eq":
+        return BlockNLP(cc=lambda u, ccd: u - ccd["budget"], mc=nres,
+                        **kw)
+    assert cap == "ineq"
+    return BlockNLP(cci=lambda u, ccd: ccd["budget"] - u, mci=nres,
+                    **kw)

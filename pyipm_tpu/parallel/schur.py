@@ -11,8 +11,12 @@ block-separable form:
           ci_k(x_k) >= 0                    (ni nonlinear per-block ineq —
                                              bounds lb <= x <= ub are the
                                              special case [x-lb; ub-x])
-          cc( sum_k g_k(x_k) ) = 0          (mc nonlinear COUPLING eq over
+          cc( sum_k g_k(x_k) )  = 0         (mc nonlinear COUPLING eq over
                                              p pooled features u = sum g_k)
+          cci( sum_k g_k(x_k) ) >= 0        (mci nonlinear COUPLING ineq —
+                                             global caps/budgets — with
+                                             REPLICATED slacks eliminated
+                                             into the border Hessian)
 
 partitioned block-by-block across the ``model`` axis of a device mesh.
 
@@ -111,6 +115,11 @@ class BlockNLP:
     cc: Optional[Callable] = None
     p: int = 0
     mc: int = 0
+    # coupling INEQUALITY constraints cci(sum_k g_k(x_k), ccdata) >= 0
+    # (e.g. global resource caps) — handled with REPLICATED slacks and
+    # multipliers through the same bordered Schur complement
+    cci: Optional[Callable] = None
+    mci: int = 0
     hess_blk: Optional[Callable] = None
     # declare ci_blk's Jacobian to be the IDENTITY (lower bounds
     # ci = x - lb): the direction then adds Sigma to the diagonal and
@@ -122,7 +131,8 @@ class BlockNLP:
         assert (self.me > 0) == (self.ce_blk is not None)
         assert (self.ni > 0) == (self.ci_blk is not None)
         assert (self.mc > 0) == (self.cc is not None)
-        if self.mc:
+        assert (self.mci > 0) == (self.cci is not None)
+        if self.mc or self.mci:
             assert self.g_blk is not None and self.p > 0
         if self.ci_identity:
             assert self.ni == self.d, "ci_identity needs ci = x - lb"
@@ -133,7 +143,9 @@ class BlockResult(NamedTuple):
     s: jnp.ndarray           # (K, ni) slacks
     le: jnp.ndarray          # (K, me) per-block equality multipliers
     li: jnp.ndarray          # (K, ni) per-block inequality multipliers
-    lc: jnp.ndarray          # (mc,) coupling multipliers (replicated)
+    lc: jnp.ndarray          # (mc,) coupling eq multipliers (replicated)
+    sc: jnp.ndarray          # (mci,) coupling-inequality slacks
+    lci: jnp.ndarray         # (mci,) coupling-inequality multipliers
     fval: jnp.ndarray
     kkt: jnp.ndarray         # (4,) global KKT norms
     signal: jnp.ndarray
@@ -165,7 +177,7 @@ def make_block_solver(spec: BlockNLP, mesh,
     divisible by the mesh's ``axis`` size.
     """
     cfg = config if config is not None else IPMConfig(float_dtype="float32")
-    cfg = cfg.resolve_mu_strategy(spec.ni)  # 'auto' -> mehrotra if ineq
+    cfg = cfg.resolve_mu_strategy(spec.ni + spec.mci)  # 'auto' resolution
     if cfg.verbosity > 0:
         # per-iteration debug printing inside shard_map would emit one
         # interleaved line PER DEVICE (the documented deviation above);
@@ -173,13 +185,15 @@ def make_block_solver(spec: BlockNLP, mesh,
         cfg = cfg.replace(verbosity=0)
     dtype = cfg.np_dtype
     d, me, ni, p, mc = spec.d, spec.me, spec.ni, spec.p, spec.mc
-    use_mehrotra = cfg.mu_strategy == "mehrotra" and ni > 0
+    mci = spec.mci
+    has_barrier = ni > 0 or mci > 0
+    use_mehrotra = cfg.mu_strategy == "mehrotra" and has_barrier
     iid = bool(spec.ci_identity) and ni == d  # Ji == I: elementwise paths
     n = d + me
     eps = float(np.finfo(dtype).eps)
     tiny = float(np.finfo(dtype).tiny)
     guard = float(np.sqrt(np.finfo(dtype).tiny))  # see core.kkt._eps_of
-    has_cc = mc > 0
+    has_cc = mc > 0 or mci > 0     # any coupling (pooled u exists)
     nglob = int(np.prod([s_ for nm, s_ in
                          zip(mesh.axis_names, mesh.devices.shape)
                          if nm == axis]))
@@ -224,19 +238,33 @@ def make_block_solver(spec: BlockNLP, mesh,
     # residuals / merit on LOCAL (Kl, ...) slabs; psum for global scalars.
     # Layouts mirror core/kkt.py (reference pyipm.py:609-694) with the
     # coupling appended to the equality class.
-    def coupling_state(x, th, ccdata, lc):
-        """u (p,) replicated, cc(u) (mc,), Jcc (mc, p), w = Jcc^T lc."""
+    def coupling_state(x, th, ccdata, lc, lci):
+        """u (p,) replicated; eq coupling (cc(u), Jcc (mc,p)); ineq
+        coupling (cci(u), Jcci (mci,p)); w = Jcc^T lc + Jcci^T lci."""
         u = _psum(jnp.sum(g_v(x, th), axis=0))
-        cc_val = spec.cc(u, ccdata)
-        Jcc = jax.jacfwd(lambda u_: spec.cc(u_, ccdata))(u)
-        return u, cc_val, Jcc, Jcc.T @ lc
+        if mc:
+            cc_val = spec.cc(u, ccdata)
+            Jcc = jax.jacfwd(lambda u_: spec.cc(u_, ccdata))(u)
+            w = Jcc.T @ lc
+        else:
+            cc_val = jnp.zeros((0,), dtype)
+            Jcc = jnp.zeros((0, p), dtype)
+            w = jnp.zeros((p,), dtype)
+        if mci:
+            cci_val = spec.cci(u, ccdata)
+            Jcci = jax.jacfwd(lambda u_: spec.cci(u_, ccdata))(u)
+            w = w + Jcci.T @ lci
+        else:
+            cci_val = jnp.zeros((0,), dtype)
+            Jcci = jnp.zeros((0, p), dtype)
+        return u, cc_val, Jcc, cci_val, Jcci, w
 
     def fval_g(x, th):
         return _psum(jnp.sum(f_v(x, th)))
 
-    def residual_blocks(x, s, le, li, lc, th, ccdata, mu):
+    def residual_blocks(x, s, sc, le, li, lc, lci, th, ccdata, mu):
         """(rx (Kl,d), rs (Kl,ni), rce (Kl,me), rcc (mc,), rci (Kl,ni),
-        plus (u, Jcc, w) coupling aux)."""
+        rsc (mci,), rcci (mci,), plus (u, Jcc, Jcci, w) coupling aux)."""
         Kl = x.shape[0]
         rx = gradf_v(x, th)
         if me:
@@ -251,30 +279,44 @@ def make_block_solver(spec: BlockNLP, mesh,
             rci = jnp.zeros((Kl, 0), dtype)
         rce = ce_v(x, th) if me else jnp.zeros((Kl, 0), dtype)
         if has_cc:
-            u, cc_val, Jcc, w = coupling_state(x, th, ccdata, lc)
+            u, cc_val, Jcc, cci_val, Jcci, w = coupling_state(
+                x, th, ccdata, lc, lci)
             rx = rx - jnp.einsum("kpd,p->kd", G_v(x, th), w)
             rcc = cc_val
         else:
             u = jnp.zeros((0,), dtype)
             Jcc = jnp.zeros((0, 0), dtype)
+            Jcci = jnp.zeros((0, 0), dtype)
+            cci_val = jnp.zeros((0,), dtype)
             w = jnp.zeros((0,), dtype)
             rcc = jnp.zeros((0,), dtype)
-        return rx, rs, rce, rcc, rci, (u, Jcc, w)
+        if mci:
+            rsc = lci - mu / (sc + guard)
+            rcci = cci_val - sc
+        else:
+            rsc = jnp.zeros((0,), dtype)
+            rcci = jnp.zeros((0,), dtype)
+        return rx, rs, rce, rcc, rci, rsc, rcci, (u, Jcc, Jcci, w)
 
-    def kkt_norms_g(x, s, le, li, lc, th, ccdata, mu):
-        rx, rs, rce, rcc, rci, _ = residual_blocks(
-            x, s, le, li, lc, th, ccdata, mu)
+    def kkt_norms_g(x, s, sc, le, li, lc, lci, th, ccdata, mu):
+        rx, rs, rce, rcc, rci, rsc, rcci, _ = residual_blocks(
+            x, s, sc, le, li, lc, lci, th, ccdata, mu)
         zero = jnp.zeros((), dtype)
         k1 = jnp.sqrt(_psum(jnp.sum(rx ** 2)))
-        k2 = jnp.sqrt(_psum(jnp.sum((rs * s) ** 2))) if ni else zero
+        s_sq = _psum(jnp.sum((rs * s) ** 2)) if ni else zero
+        k2 = (jnp.sqrt(s_sq + jnp.sum((rsc * sc) ** 2))
+              if has_barrier else zero)
         ce_sq = _psum(jnp.sum(rce ** 2)) if me else zero
         k3 = (jnp.sqrt(ce_sq + jnp.sum(rcc ** 2))
-              if (me or has_cc) else zero)
-        k4 = jnp.sqrt(_psum(jnp.sum(rci ** 2))) if ni else zero
+              if (me or mc) else zero)
+        ci_sq = _psum(jnp.sum(rci ** 2)) if ni else zero
+        k4 = (jnp.sqrt(ci_sq + jnp.sum(rcci ** 2))
+              if has_barrier else zero)
         return jnp.stack([k1, k2, k3, k4])
 
-    def con_l1(x, s, th, ccdata):
-        """Global l1 infeasibility |ce|_1 + |cc|_1 + |ci - s|_1."""
+    def con_l1(x, s, sc, th, ccdata):
+        """Global l1 infeasibility |ce|_1 + |cc|_1 + |ci-s|_1 +
+        |cci-sc|_1."""
         v = jnp.zeros((), dtype)
         if me:
             v = v + _psum(jnp.sum(jnp.abs(ce_v(x, th))))
@@ -282,28 +324,41 @@ def make_block_solver(spec: BlockNLP, mesh,
             v = v + _psum(jnp.sum(jnp.abs(ci_v(x, th) - s)))
         if has_cc:
             u = _psum(jnp.sum(g_v(x, th), axis=0))
-            v = v + jnp.sum(jnp.abs(spec.cc(u, ccdata)))
+            if mc:
+                v = v + jnp.sum(jnp.abs(spec.cc(u, ccdata)))
+            if mci:
+                v = v + jnp.sum(jnp.abs(spec.cci(u, ccdata) - sc))
         return v
 
-    def phi_g(x, s, th, ccdata, mu, nu):
+    def phi_g(x, s, sc, th, ccdata, mu, nu):
         """l1 merit (reference pyipm.py:670-694), globally reduced."""
-        val = fval_g(x, th) + nu * con_l1(x, s, th, ccdata)
+        val = fval_g(x, th) + nu * con_l1(x, s, sc, th, ccdata)
         if ni:
             val = val - mu * _psum(jnp.sum(jnp.log(s)))
+        if mci:
+            val = val - mu * jnp.sum(jnp.log(sc))
         return val
 
     # ------------------------------------------------------------------
-    def direction(x, s, le, li, lc, th, ccdata, mu, delta):
+    def direction(x, s, sc, le, li, lc, lci, th, ccdata, mu, delta):
         """Distributed condensed-KKT Newton step via the coupling border.
 
-        Returns (dx, ds, dae, db, dac, resolve, delta_new, retries) with
-        the PRE-FLIP sign convention of ops/condensed.py (the caller
-        negates the multiplier steps, reference pyipm.py:1723-1725);
-        ``resolve(rce_n, rcc_n, rci_n)`` is the same-matrix SOC."""
+        Returns (dx, ds, dsc, dae, db, dbc, dac, resolve, delta_new,
+        retries, mu_new) with the PRE-FLIP sign convention of
+        ops/condensed.py (the caller negates the multiplier steps,
+        reference pyipm.py:1723-1725); ``resolve`` is the same-matrix SOC.
+
+        Coupling INEQUALITIES enter exactly like per-block ones, but in
+        u-space: their slacks are eliminated into the border Hessian as
+        +G^T Jcci^T Sigc Jcci G, i.e. the border uses
+        Hhat = Hu - Jcci^T Sigc Jcci, and dsc/dbc are recovered
+        elementwise from v = sum_k G_k dx_k."""
         Kl = x.shape[0]
-        rx, rs, rce, rcc, rci, (u, Jcc, w) = residual_blocks(
-            x, s, le, li, lc, th, ccdata, mu)
+        rx, rs, rce, rcc, rci, rsc, rcci, (u, Jcc, Jcci, w) = \
+            residual_blocks(x, s, sc, le, li, lc, lci, th, ccdata, mu)
         g1, g2, g3e, g3c, g4 = -rx, -rs, -rce, -rcc, -rci
+        g2c, g4c = -rsc, -rcci
+        sigc = (lci / (sc + guard) if mci else jnp.zeros((0,), dtype))
 
         W = W_v(x, th, le, li, w)                        # (Kl, d, d)
         if ni:
@@ -348,26 +403,41 @@ def make_block_solver(spec: BlockNLP, mesh,
 
         if has_cc:
             G = G_v(x, th)                               # (Kl, p, d)
-            Hu = jax.hessian(
-                lambda u_: lc @ spec.cc(u_, ccdata))(u)  # (p, p)
+
+            def lag_u(u_):
+                t = jnp.zeros((), dtype)
+                if mc:
+                    t = t + lc @ spec.cc(u_, ccdata)
+                if mci:
+                    t = t + lci @ spec.cci(u_, ccdata)
+                return t
+
+            Hu = jax.hessian(lag_u)(u)                   # (p, p)
+            # slack-eliminated coupling-inequality Sigma folds into the
+            # border Hessian (sign: the condensed system SUBTRACTS
+            # G^T Hhat G, so Sigc enters with a minus inside Hhat)
+            Hhat = (Hu - (Jcci.T * sigc[None, :]) @ Jcci
+                    if mci else Hu)
             Ghat = jnp.zeros((Kl, n, p), dtype)
             Ghat = Ghat.at[:, :d, :].set(jnp.swapaxes(G, 1, 2))
             X = solve_blk(Ghat)                          # (Kl, n, p)
             # the psums that ride the ICI (SURVEY.md §5)
             Pm = _psum(jnp.einsum("kpd,kdq->pq", G, X[:, :d, :]))
             Bm = jnp.zeros((p + mc, p + mc), dtype)
-            Bm = Bm.at[:p, :p].set(jnp.eye(p, dtype=dtype) - Pm @ Hu)
-            Bm = Bm.at[:p, p:].set(Pm @ Jcc.T)
-            Bm = Bm.at[p:, :p].set(Jcc)
-            # tiny Tikhonov on the zero block for rank-deficient coupling;
-            # the refinement below corrects toward the unregularized
-            # system (the lstsq_minnorm pattern)
-            Bm = Bm.at[p:, p:].set(
-                cfg.reg_coef * jnp.eye(mc, dtype=dtype))
+            Bm = Bm.at[:p, :p].set(jnp.eye(p, dtype=dtype) - Pm @ Hhat)
+            if mc:
+                Bm = Bm.at[:p, p:].set(Pm @ Jcc.T)
+                Bm = Bm.at[p:, :p].set(Jcc)
+                # tiny Tikhonov on the zero block for rank-deficient
+                # coupling; the refinement below corrects toward the
+                # unregularized system (the lstsq_minnorm pattern)
+                Bm = Bm.at[p:, p:].set(
+                    cfg.reg_coef * jnp.eye(mc, dtype=dtype))
             blu = jax.scipy.linalg.lu_factor(Bm)
         else:
             G = jnp.zeros((Kl, 0, d), dtype)
             Hu = jnp.zeros((0, 0), dtype)
+            Hhat = Hu
             X = jnp.zeros((Kl, n, 0), dtype)
             blu = None
 
@@ -381,11 +451,11 @@ def make_block_solver(spec: BlockNLP, mesh,
             vdac = jax.scipy.linalg.lu_solve(
                 blu, jnp.concatenate([pv, g3c_]))
             v, dac = vdac[:p], vdac[p:]
-            y = Hu @ v - Jcc.T @ dac
+            y = Hhat @ v - (Jcc.T @ dac if mc else 0.0)
             U = U0 + jnp.einsum("knp,p->kn", X, y)
             return U, dac, v
 
-        def recover(U, dac, g2_, g4_):
+        def recover(U, dac, v, g2_, g4_, g2c_, g4c_):
             dx = U[:, :d]
             dae = U[:, d:]
             if ni:
@@ -394,16 +464,22 @@ def make_block_solver(spec: BlockNLP, mesh,
             else:
                 ds = jnp.zeros((Kl, 0), dtype)
                 db = jnp.zeros((Kl, 0), dtype)
-            return dx, ds, dae, db, dac
+            if mci:
+                dsc = Jcci @ v - g4c_
+                dbc = sigc * dsc - g2c_
+            else:
+                dsc = jnp.zeros((0,), dtype)
+                dbc = jnp.zeros((0,), dtype)
+            return dx, ds, dsc, dae, db, dbc, dac
 
-        def full_residual(dx, ds, dae, db, dac, g2_):
+        def full_residual(dx, ds, dsc, dae, db, dbc, dac, g2_, g2c_):
             """Residual of the REGULARIZED full Newton system via block
             matvecs + psums — same contract as ops/condensed.py's
             refinement (the applied delta/eq shifts are part of the
             system; the border Tikhonov is NOT, so refinement pulls
-            toward the unregularized coupling row).  ``g2_`` is the
-            complementarity rhs of the system being refined (it differs
-            between the Mehrotra predictor and corrector)."""
+            toward the unregularized coupling row).  ``g2_``/``g2c_`` are
+            the complementarity rhs of the system being refined (they
+            differ between the Mehrotra predictor and corrector)."""
             r1 = g1 - (jnp.einsum("kde,ke->kd", W, dx)
                        + delta_app[:, None] * dx)
             if me:
@@ -420,44 +496,67 @@ def make_block_solver(spec: BlockNLP, mesh,
                 r2, r4 = g2_, g4
             if has_cc:
                 vv = _psum(jnp.einsum("kpd,kd->p", G, dx))
-                r1 = r1 - jnp.einsum("kpd,p->kd", G,
-                                     Jcc.T @ dac - Hu @ vv)
-                r3c = g3c - Jcc @ vv
+                wrow = -Hu @ vv
+                if mc:
+                    wrow = wrow + Jcc.T @ dac
+                if mci:
+                    wrow = wrow + Jcci.T @ dbc
+                r1 = r1 - jnp.einsum("kpd,p->kd", G, wrow)
+                r3c = g3c - (Jcc @ vv if mc else g3c * 0)
+                if mci:
+                    r2c = g2c_ - (sigc * dsc - dbc)
+                    r4c = g4c - (Jcci @ vv - dsc)
+                else:
+                    r2c, r4c = g2c_, g4c
             else:
                 r3c = g3c
-            return r1, r2, r3e, r3c, r4
+                r2c, r4c = g2c_, g4c
+            return r1, r2, r3e, r3c, r4, r2c, r4c
 
         def res_norm2(r):
-            r1, r2, r3e, r3c, r4 = r
+            r1, r2, r3e, r3c, r4, r2c, r4c = r
             return (_psum(jnp.sum(r1 ** 2) + jnp.sum(r2 ** 2)
                           + jnp.sum(r3e ** 2) + jnp.sum(r4 ** 2))
-                    + jnp.sum(r3c ** 2))
+                    + jnp.sum(r3c ** 2) + jnp.sum(r2c ** 2)
+                    + jnp.sum(r4c ** 2))
+
+        def _ineq_coupling_pull(r2c_, r4c_):
+            """x-row contribution of the eliminated coupling-inequality
+            rows: + G^T Jcci^T (Sigc r4c + r2c), the u-space analog of
+            the per-block JiT(sig g4 + g2)."""
+            wc = Jcci.T @ (sigc * r4c_ + r2c_)
+            return jnp.einsum("kpd,p->kd", G, wc)
 
         def condensed_apply(r):
             """One bordered solve of the residual system against the
             CACHED factors (no refactorization) — ops/condensed.py's
             condensed_apply, distributed."""
-            r1, r2, r3e, r3c, r4 = r
+            r1, r2, r3e, r3c, r4, r2c, r4c = r
             rr1 = r1 + (jiT_mv(sig * r4 + r2) if ni else 0.0)
+            if mci:
+                rr1 = rr1 + _ineq_coupling_pull(r2c, r4c)
             rr0 = jnp.concatenate([rr1, r3e], axis=1) if me else rr1
-            Ue, eac, _ = solve_full(rr0, r3c)
-            return recover(Ue, eac, r2, r4)
+            Ue, eac, ev = solve_full(rr0, r3c)
+            return recover(Ue, eac, ev, r2, r4, r2c, r4c)
 
-        def assemble_rhs0(g2_):
+        def assemble_rhs0(g2_, g2c_):
             rr1 = (g1 + jiT_mv(sig * g4 + g2_) if ni else g1)
+            if mci:
+                rr1 = rr1 + _ineq_coupling_pull(g2c_, g4c)
             return jnp.concatenate([rr1, g3e], axis=1) if me else rr1
 
-        def solve_refined(g2_):
+        def solve_refined(g2_, g2c_):
             """Bordered solve + 2 guarded refinement steps for the system
-            with complementarity rhs g2_ (ops/condensed.py pattern)."""
-            steps = recover(*solve_full(assemble_rhs0(g2_), g3c)[:2],
-                            g2_, g4)
+            with complementarity rhs g2_/g2c_ (ops/condensed.py
+            pattern)."""
+            steps = recover(*solve_full(assemble_rhs0(g2_, g2c_), g3c),
+                            g2_, g4, g2c_, g4c)
             for _ in range(2):
-                r = full_residual(*steps, g2_)
+                r = full_residual(*steps, g2_, g2c_)
                 rn0 = res_norm2(r)
                 corr = condensed_apply(r)
                 steps2 = tuple(a + b for a, b in zip(steps, corr))
-                rn1 = res_norm2(full_residual(*steps2, g2_))
+                rn1 = res_norm2(full_residual(*steps2, g2_, g2c_))
                 better = rn1 < rn0
                 steps = tuple(jnp.where(better, a2, a)
                               for a, a2 in zip(steps, steps2))
@@ -467,54 +566,72 @@ def make_block_solver(spec: BlockNLP, mesh,
             # Mehrotra predictor-corrector through the SAME factorization
             # and border (the distributed form of ops/condensed.py's
             # condensed_direction_mehrotra): affine step at mu=0, global
-            # boundary steps via pmin, centering sigma, corrector with the
-            # second-order complementarity term.
-            eps_s = s + guard
-            g2_aff = -li                  # -(li - 0/(s+guard))
-            dx_a, ds_a, dae_a, db_a, dac_a = solve_refined(g2_aff)
-            dli_a = -db_a                 # post-flip multiplier step
+            # boundary steps via pmin, centering sigma over ALL barrier
+            # pairs (block slacks + replicated coupling slacks), corrector
+            # with the second-order complementarity terms.
             one = jnp.ones((), dtype)
-            a_s = max_step_ftb(s, ds_a, one, axis=axis)
-            a_l = max_step_ftb(li, dli_a, one, axis=axis)
-            ntot = jnp.asarray(s.size, dtype)
-            ntot_g = _psum(ntot)
-            mu_mean = _psum(jnp.sum(s * li)) / ntot_g
-            mu_aff = _psum(jnp.sum((s + a_s * ds_a)
-                                   * (li + a_l * dli_a))) / ntot_g
+            g2_aff = -li                  # -(li - 0/(s+guard))
+            g2c_aff = -lci
+            (dx_a, ds_a, dsc_a, dae_a, db_a, dbc_a,
+             dac_a) = solve_refined(g2_aff, g2c_aff)
+            dli_a = -db_a                 # post-flip multiplier steps
+            dlci_a = -dbc_a
+            a_s = max_step_ftb(s, ds_a, one, axis=axis) if ni else one
+            a_l = max_step_ftb(li, dli_a, one, axis=axis) if ni else one
+            if mci:
+                a_s = jnp.minimum(a_s, max_step_ftb(sc, dsc_a, one))
+                a_l = jnp.minimum(a_l, max_step_ftb(lci, dlci_a, one))
+            ntot_g = _psum(jnp.asarray(s.size, dtype)) + mci
+            mu_mean = (_psum(jnp.sum(s * li)) + jnp.sum(sc * lci)) / ntot_g
+            mu_aff = (_psum(jnp.sum((s + a_s * ds_a)
+                                    * (li + a_l * dli_a)))
+                      + jnp.sum((sc + a_s * dsc_a)
+                                * (lci + a_l * dlci_a))) / ntot_g
             sigma_c = jnp.clip((mu_aff / (mu_mean + guard)) ** 3, 0.0, 1.0)
             mu_new = jnp.maximum(sigma_c * mu_mean,
                                  jnp.asarray(cfg.mu_floor, dtype))
-            g2_c = g2_aff + (mu_new - ds_a * dli_a) / eps_s
-            dx, ds, dae, db, dac = solve_refined(g2_c)
+            g2_m = g2_aff + (mu_new - ds_a * dli_a) / (s + guard)
+            g2c_m = (g2c_aff + (mu_new - dsc_a * dlci_a) / (sc + guard)
+                     if mci else g2c_aff)
+            dx, ds, dsc, dae, db, dbc, dac = solve_refined(g2_m, g2c_m)
         else:
             mu_new = mu
-            dx, ds, dae, db, dac = solve_refined(g2)
+            dx, ds, dsc, dae, db, dbc, dac = solve_refined(g2, g2c)
 
-        def resolve(rce_n, rcc_n, rci_n):
+        def resolve(rce_n, rcc_n, rci_n, rcci_n):
             """Same-matrix SOC: constraint-only residuals through the
             SAME factorization (zero gradient rows)."""
             g4n = -rci_n
+            g4cn = -rcci_n
             rr1 = (jiT_mv(sig * g4n)
                    if ni else jnp.zeros((Kl, d), dtype))
+            if mci:
+                rr1 = rr1 + _ineq_coupling_pull(jnp.zeros((mci,), dtype),
+                                                g4cn)
             rr0 = (jnp.concatenate([rr1, -rce_n], axis=1) if me else rr1)
-            Up, _, _ = solve_full(rr0, -rcc_n)
+            Up, _, vp = solve_full(rr0, -rcc_n)
             dx_p = Up[:, :d]
             ds_p = (ji_mv(dx_p) - g4n
                     if ni else jnp.zeros((Kl, 0), dtype))
-            return dx_p, ds_p
+            dsc_p = (Jcci @ vp - g4cn if mci
+                     else jnp.zeros((0,), dtype))
+            return dx_p, ds_p, dsc_p
 
-        return dx, ds, dae, db, dac, resolve, delta_new, retries, mu_new
+        return (dx, ds, dsc, dae, db, dbc, dac, resolve, delta_new,
+                retries, mu_new)
 
     # ------------------------------------------------------------------
     # one primal-dual iteration on the SolverState carry (the distributed
     # instantiation of core/solver.py's inner_iter)
     def make_inner_iter(th, ccdata):
         def inner_iter(st: SolverState) -> SolverState:
-            le, li, lc = st.lda
+            le, li, lc, lci = st.lda
+            s_blk, sc = st.s
             with jax.named_scope("ipm-direction"):
-                (dx, ds, dae, db, dac, resolve, delta_new, retries,
-                 mu_new) = direction(st.x, st.s, le, li, lc, th, ccdata,
-                                     st.mu, st.delta)
+                (dx, ds, dsc, dae, db, dbc, dac, resolve, delta_new,
+                 retries, mu_new) = direction(
+                     st.x, s_blk, sc, le, li, lc, lci, th, ccdata,
+                     st.mu, st.delta)
             # under 'mehrotra' the barrier evolves per iteration inside
             # the direction solve (core/solver.py does the same).
             # reg_retries is declared REPLICATED in the state specs while
@@ -523,26 +640,30 @@ def make_block_solver(spec: BlockNLP, mesh,
             st = st._replace(mu=mu_new, delta=delta_new,
                              reg_retries=st.reg_retries + _psum(retries))
             # multiplier sign flip (reference pyipm.py:1723-1725)
-            dle, dli, dlc = -dae, -db, -dac
+            dle, dli, dlc, dlci = -dae, -db, -dac, -dbc
 
             # merit penalty update (pyipm.py:1727-1735; shared formula)
-            cl1 = con_l1(st.x, st.s, th, ccdata)
+            cl1 = con_l1(st.x, s_blk, sc, th, ccdata)
             bdot = _psum(jnp.sum(gradf_v(st.x, th) * dx))
             if ni:
                 bdot = bdot + _psum(
-                    jnp.sum(-st.mu / (st.s + guard) * ds))
+                    jnp.sum(-st.mu / (s_blk + guard) * ds))
+            if mci:
+                bdot = bdot + jnp.sum(-st.mu / (sc + guard) * dsc)
             nu = jnp.maximum(st.nu,
                              nu_threshold(bdot, cl1, cfg.rho, tiny))
 
             # global fraction-to-the-boundary (closed form + pmin)
-            if ni:
-                a_s = max_step_ftb(st.s, ds, cfg.tau, axis=axis)
-                a_l = max_step_ftb(li, dli, cfg.tau, axis=axis)
-            else:
-                a_s = jnp.ones((), dtype)
-                a_l = jnp.ones((), dtype)
+            one = jnp.ones((), dtype)
+            a_s = (max_step_ftb(s_blk, ds, cfg.tau, axis=axis)
+                   if ni else one)
+            a_l = (max_step_ftb(li, dli, cfg.tau, axis=axis)
+                   if ni else one)
+            if mci:
+                a_s = jnp.minimum(a_s, max_step_ftb(sc, dsc, cfg.tau))
+                a_l = jnp.minimum(a_l, max_step_ftb(lci, dlci, cfg.tau))
 
-            phi0 = phi_g(st.x, st.s, th, ccdata, st.mu, nu)
+            phi0 = phi_g(st.x, s_blk, sc, th, ccdata, st.mu, nu)
             dphi0 = bdot - nu * cl1
             # roundoff-aware Armijo slack (see core/linesearch.py)
             slack = 10.0 * eps * (1.0 + jnp.abs(phi0))
@@ -551,22 +672,24 @@ def make_block_solver(spec: BlockNLP, mesh,
                 return phi0 + a * cfg.eta * dphi0 + slack
 
             def phi_at(a):
-                return phi_g(st.x + a * dx, st.s + a * ds, th, ccdata,
-                             st.mu, nu)
+                return phi_g(st.x + a * dx, s_blk + a * ds, sc + a * dsc,
+                             th, ccdata, st.mu, nu)
 
             base = jnp.sqrt(_psum(jnp.sum((a_s * dx) ** 2)
-                                  + jnp.sum((a_l * ds) ** 2)))
+                                  + jnp.sum((a_l * ds) ** 2))
+                            + jnp.sum((a_l * dsc) ** 2))
 
             payload_zero = (jnp.zeros_like(dx), jnp.zeros_like(ds),
-                            jnp.ones((), dtype))
+                            jnp.zeros_like(dsc), jnp.ones((), dtype))
 
             def try_soc(a):
                 """Second-order correction when infeasibility increased
                 (reference pyipm.py:1464-1489) via the same-matrix
                 resolve."""
                 xa = st.x + a * dx
-                sa = st.s + a * ds
-                new_l1 = con_l1(xa, sa, th, ccdata)
+                sa = s_blk + a * ds
+                sca = sc + a * dsc
+                new_l1 = con_l1(xa, sa, sca, th, ccdata)
 
                 def do(_):
                     Kl = xa.shape[0]
@@ -576,21 +699,33 @@ def make_block_solver(spec: BlockNLP, mesh,
                              else jnp.zeros((Kl, 0), dtype))
                     if has_cc:
                         un = _psum(jnp.sum(g_v(xa, th), axis=0))
-                        rcc_n = spec.cc(un, ccdata)
+                        rcc_n = (spec.cc(un, ccdata) if mc
+                                 else jnp.zeros((0,), dtype))
+                        rcci_n = (spec.cci(un, ccdata) - sca if mci
+                                  else jnp.zeros((0,), dtype))
                     else:
                         rcc_n = jnp.zeros((0,), dtype)
-                    dx_p, ds_p = resolve(rce_n, rcc_n, rci_n)
+                        rcci_n = jnp.zeros((0,), dtype)
+                    dx_p, ds_p, dsc_p = resolve(rce_n, rcc_n, rci_n,
+                                                rcci_n)
                     rhs = armijo_rhs(a)
-                    ok1 = phi_g(xa + dx_p, sa + ds_p, th, ccdata,
-                                st.mu, nu) <= rhs
-                    if ni:
-                        a_corr = max_step_ftb(st.s, a * ds + ds_p,
-                                              cfg.tau, axis=axis)
-                        ok2 = phi_g(st.x + a_corr * (a * dx + dx_p),
-                                    st.s + a_corr * (a * ds + ds_p),
-                                    th, ccdata, st.mu, nu) <= rhs
-                        return ok1 & ok2, (dx_p, ds_p, a_corr)
-                    return ok1, (dx_p, ds_p, jnp.ones((), dtype))
+                    ok1 = phi_g(xa + dx_p, sa + ds_p, sca + dsc_p,
+                                th, ccdata, st.mu, nu) <= rhs
+                    if has_barrier:
+                        a_corr = one
+                        if ni:
+                            a_corr = max_step_ftb(s_blk, a * ds + ds_p,
+                                                  cfg.tau, axis=axis)
+                        if mci:
+                            a_corr = jnp.minimum(a_corr, max_step_ftb(
+                                sc, a * dsc + dsc_p, cfg.tau))
+                        ok2 = phi_g(
+                            st.x + a_corr * (a * dx + dx_p),
+                            s_blk + a_corr * (a * ds + ds_p),
+                            sc + a_corr * (a * dsc + dsc_p),
+                            th, ccdata, st.mu, nu) <= rhs
+                        return ok1 & ok2, (dx_p, ds_p, dsc_p, a_corr)
+                    return ok1, (dx_p, ds_p, dsc_p, one)
 
                 def dont(_):
                     return jnp.zeros((), jnp.bool_), payload_zero
@@ -598,14 +733,18 @@ def make_block_solver(spec: BlockNLP, mesh,
                 return lax.cond(new_l1 > cl1, do, dont, None)
 
             def apply(a_sf, a_lf, soc, payload):
-                dx_p, ds_p, a_corr = payload
-                one = jnp.ones((), dtype)
+                dx_p, ds_p, dsc_p, a_corr = payload
                 corr = jnp.where(soc, a_corr, one)
                 gate = jnp.where(soc, one, jnp.zeros((), dtype))
                 x = st.x + corr * (a_sf * dx + gate * dx_p)
-                s = st.s + corr * (a_sf * ds + gate * ds_p) if ni else st.s
-                lda = (le + a_lf * dle, li + a_lf * dli, lc + a_lf * dlc)
-                return st._replace(x=x, s=s, lda=lda, nu=nu, alpha=a_sf)
+                s_n = (s_blk + corr * (a_sf * ds + gate * ds_p)
+                       if ni else s_blk)
+                sc_n = (sc + corr * (a_sf * dsc + gate * dsc_p)
+                        if mci else sc)
+                lda = (le + a_lf * dle, li + a_lf * dli,
+                       lc + a_lf * dlc, lci + a_lf * dlci)
+                return st._replace(x=x, s=(s_n, sc_n), lda=lda, nu=nu,
+                                   alpha=a_sf)
 
             def abort():
                 return st._replace(signal=jnp.asarray(-2, jnp.int32),
@@ -618,20 +757,24 @@ def make_block_solver(spec: BlockNLP, mesh,
                     tau=cfg.tau, eps=eps, chunk=cfg.backtrack_chunk,
                     max_backtrack=cfg.max_backtrack)
             sn = sn._replace(iter_count=sn.iter_count + 1)
-            len_, lin_, lcn_ = sn.lda
+            len_, lin_, lcn_, lcin_ = sn.lda
+            sbn_, scn_ = sn.s
             with jax.named_scope("ipm-kkt-residual"):
                 sn = sn._replace(kkt=kkt_norms_g(
-                    sn.x, sn.s, len_, lin_, lcn_, th, ccdata, sn.mu))
+                    sn.x, sbn_, scn_, len_, lin_, lcn_, lcin_, th,
+                    ccdata, sn.mu))
 
             if cfg.nan_guard:
                 # in-loop sanitizer (SURVEY.md §5): OR-reduced across
                 # devices via a psum of non-finite counts
                 bad_local = (jnp.sum(~jnp.isfinite(sn.x))
-                             + jnp.sum(~jnp.isfinite(sn.s))
+                             + jnp.sum(~jnp.isfinite(sbn_))
                              + jnp.sum(~jnp.isfinite(len_))
                              + jnp.sum(~jnp.isfinite(lin_)))
                 finite = ((_psum(bad_local) == 0)
                           & jnp.all(jnp.isfinite(lcn_))
+                          & jnp.all(jnp.isfinite(scn_))
+                          & jnp.all(jnp.isfinite(lcin_))
                           & jnp.all(jnp.isfinite(sn.kkt)))
                 sn = sn._replace(signal=jnp.where(
                     (sn.signal >= 0) & ~finite,
@@ -654,7 +797,7 @@ def make_block_solver(spec: BlockNLP, mesh,
                     alpha=h.alpha.at[t].set(sn.alpha),
                     delta=h.delta.at[t].set(dmax)))
 
-            if cfg.Ftol is not None and ni == 0:
+            if cfg.Ftol is not None and not has_barrier:
                 # per-inner-iteration Ftol, eq-only (pyipm.py:1756-1766)
                 f_new = fval_g(sn.x, th)
                 live = sn.signal != -2
@@ -671,16 +814,24 @@ def make_block_solver(spec: BlockNLP, mesh,
     # ------------------------------------------------------------------
     def make_engine(th, ccdata, Kl):
         def centrality_stats(st):
-            _, li_, _ = st.lda
-            return (_psum(jnp.sum(st.s * li_)),
-                    lax.pmin(jnp.min(st.s * li_), axis_name=axis),
-                    Kl * nglob * ni)
+            _, li_, _, lci_ = st.lda
+            s_, sc_ = st.s
+            sl = jnp.sum(s_ * li_) if ni else jnp.zeros((), dtype)
+            sl = _psum(sl) + (jnp.sum(sc_ * lci_) if mci else 0.0)
+            if ni:
+                smin = lax.pmin(jnp.min(s_ * li_), axis_name=axis)
+                if mci:
+                    smin = jnp.minimum(smin, jnp.min(sc_ * lci_))
+            else:
+                smin = jnp.min(sc_ * lci_)
+            return sl, smin, Kl * nglob * ni + mci
 
         return make_loop_engine(
             cfg, inner_iter=make_inner_iter(th, ccdata),
             f_val=lambda st: fval_g(st.x, th),
             centrality_stats=centrality_stats,
-            has_ineq=ni > 0, unconstrained=(me + ni + mc) == 0,
+            has_ineq=has_barrier,
+            unconstrained=(me + ni + mc + mci) == 0,
             dtype=dtype)
 
     def local_init(x0, th, ccdata, s0, le0, li0, lc0) -> SolverState:
@@ -689,10 +840,18 @@ def make_block_solver(spec: BlockNLP, mesh,
         if ni:
             s = (jnp.maximum(ci_v(x, th), cfg.Ktol).astype(dtype)
                  if s0 is None else s0.astype(dtype))
-            mu0 = jnp.asarray(cfg.mu, dtype)
         else:
             s = jnp.zeros((Kl, 0), dtype)
-            mu0 = jnp.asarray(cfg.Ktol, dtype)    # pyipm.py:1606
+        if mci:
+            u0 = _psum(jnp.sum(g_v(x, th), axis=0))
+            sc = jnp.maximum(spec.cci(u0, ccdata),
+                             cfg.Ktol).astype(dtype)
+            lci = jnp.full((mci,), cfg.Ktol, dtype)
+        else:
+            sc = jnp.zeros((0,), dtype)
+            lci = jnp.zeros((0,), dtype)
+        mu0 = jnp.asarray(cfg.mu if has_barrier else cfg.Ktol,
+                          dtype)                  # pyipm.py:1606
         le = (jnp.zeros((Kl, me), dtype) if le0 is None
               else le0.astype(dtype))
         li = (jnp.full((Kl, ni), cfg.Ktol, dtype) if li0 is None
@@ -700,12 +859,12 @@ def make_block_solver(spec: BlockNLP, mesh,
         lc = (jnp.zeros((mc,), dtype) if lc0 is None
               else lc0.astype(dtype))
 
-        kkt0 = kkt_norms_g(x, s, le, li, lc, th, ccdata, mu0)
+        kkt0 = kkt_norms_g(x, s, sc, le, li, lc, lci, th, ccdata, mu0)
         f_past = (fval_g(x, th) if cfg.Ftol is not None
                   else jnp.zeros((), dtype))
         i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
         return SolverState(
-            x=x, s=s, lda=(le, li, lc),
+            x=x, s=(s, sc), lda=(le, li, lc, lci),
             mu=mu0, nu=jnp.asarray(cfg.nu, dtype),
             delta=jnp.zeros((Kl,), dtype), kkt=kkt0,
             signal=i32(0), iter_count=i32(0), outer=i32(0),
@@ -723,9 +882,11 @@ def make_block_solver(spec: BlockNLP, mesh,
         )
 
     def local_finalize(st: SolverState, th, ccdata) -> BlockResult:
-        le_f, li_f, lc_f = st.lda
+        le_f, li_f, lc_f, lci_f = st.lda
+        s_f, sc_f = st.s
         return BlockResult(
-            x=st.x, s=st.s, le=le_f, li=li_f, lc=lc_f,
+            x=st.x, s=s_f, le=le_f, li=li_f, lc=lc_f, sc=sc_f,
+            lci=lci_f,
             fval=fval_g(st.x, th), kkt=st.kkt, signal=st.signal,
             iter_count=st.iter_count, mu=st.mu, nu=st.nu, hist=st.hist)
 
@@ -733,7 +894,8 @@ def make_block_solver(spec: BlockNLP, mesh,
     blk = P(axis)            # leading K axis sharded over blocks
     rep = P()
     out_specs = BlockResult(
-        x=blk, s=blk, le=blk, li=blk, lc=rep, fval=rep, kkt=rep,
+        x=blk, s=blk, le=blk, li=blk, lc=rep, sc=rep, lci=rep,
+        fval=rep, kkt=rep,
         signal=rep, iter_count=rep, mu=rep, nu=rep,
         hist=MetricsHistory(kkt=rep, mu=rep, nu=rep, alpha=rep,
                             delta=rep))
@@ -741,7 +903,8 @@ def make_block_solver(spec: BlockNLP, mesh,
     # multipliers; everything else replicated (the checkpoint/pause unit
     # of the distributed solve)
     state_specs = SolverState(
-        x=blk, s=blk, lda=(blk, blk, rep), mu=rep, nu=rep, delta=blk,
+        x=blk, s=(blk, rep), lda=(blk, blk, rep, rep), mu=rep, nu=rep,
+        delta=blk,
         kkt=rep, signal=rep, iter_count=rep, outer=rep, inner=rep,
         inner_done=rep, in_inner=rep, f_past=rep, alpha=rep,
         reg_retries=rep,

@@ -128,3 +128,35 @@ def test_resource_allocation_distributed():
     pool = np.asarray(jnp.einsum("krd,kd->r", th["R"], res.x))
     np.testing.assert_allclose(pool, np.asarray(data.ccdata["budget"]),
                                atol=1e-4)          # shared pool binding
+
+
+def test_resource_allocation_inequality_cap():
+    """The ineq-cap variant (sum_k R_k x_k <= budget, the coupling-
+    INEQUALITY class): caps hold at the solution and active resources
+    carry positive shadow prices."""
+    import jax
+
+    from pyipm_tpu.models.applications import (
+        make_resource_alloc_spec, sample_resource_alloc,
+    )
+    from pyipm_tpu.parallel.schur import make_block_solver
+
+    K, d, nres = 16, 6, 3
+    data = sample_resource_alloc(jax.random.key(1), K, d, nres=nres,
+                                 dtype=jnp.float64)
+    spec = make_resource_alloc_spec(d, nres=nres, cap="ineq")
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), ("model",))
+    cfg = IPMConfig(float_dtype="float64", verbosity=0, niter=10,
+                    miter=25)
+    fn = make_block_solver(spec, mesh, cfg)
+    res = fn(jnp.full((K, d), 1.0, jnp.float64), data.theta,
+             ccdata=data.ccdata)
+    assert int(res.signal) == 1, np.asarray(res.kkt)
+    pool = np.asarray(jnp.einsum("krd,kd->r", data.theta["R"], res.x))
+    budget = np.asarray(data.ccdata["budget"])
+    assert np.all(pool <= budget + 1e-5)
+    # complementarity: where the cap binds, lci > 0; where slack, lci ~ 0
+    slack = budget - pool
+    lci = np.asarray(res.lci)
+    assert np.all(lci >= -1e-8)
+    assert np.all(slack * lci <= 1e-3)

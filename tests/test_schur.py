@@ -414,3 +414,141 @@ def test_ci_identity_fast_path_matches_general():
     assert int(r_fast.iter_count) == int(r_gen.iter_count)
     np.testing.assert_allclose(np.asarray(r_fast.x), np.asarray(r_gen.x),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_block_coupling_inequality_parity_with_assembled():
+    """Coupling INEQUALITIES cci(sum_k g_k(x_k)) >= 0 (global caps) with
+    replicated slacks through the bordered Schur complement: must match
+    the assembled single-device condensed solve (ci = [blocks; cci]) to
+    roundoff, and the cap must bind/hold at the solution."""
+    from pyipm_tpu.config import IPMConfig as Cfg
+    from pyipm_tpu.core.problem import Problem
+    from pyipm_tpu.core.solver import solve as solve_single
+    from pyipm_tpu.parallel.schur import BlockNLP, make_block_solver
+
+    K, d, me, ni, pdim, mc, mci = 8, 3, 1, 2, 2, 1, 2
+    key = jax.random.key(21)
+    kq, kc, ke, ki, kg, kx = jax.random.split(key, 6)
+    Q0 = jax.random.normal(kq, (K, d, d), jnp.float64) / np.sqrt(d)
+    Q = jnp.einsum("kij,klj->kil", Q0, Q0) + jnp.eye(d, dtype=jnp.float64)
+    c = jax.random.normal(kc, (K, d), jnp.float64)
+    Ce = jax.random.normal(ke, (K, me, d), jnp.float64) / np.sqrt(d)
+    Ci = jax.random.normal(ki, (K, ni, d), jnp.float64) / np.sqrt(d)
+    Gl = jax.random.normal(kg, (K, pdim, d), jnp.float64) / np.sqrt(K * d)
+    xfeas = jax.random.normal(kx, (K, d), jnp.float64) * 0.1
+    ee = jnp.einsum("kmd,kd->km", Ce, xfeas)
+    di = 1.0 - jnp.einsum("knd,kd->kn", Ci, xfeas)
+    theta = {"Q": Q, "c": c, "Ce": Ce, "e": ee, "Ci": Ci, "di": di,
+             "G": Gl}
+
+    def f_blk(xk, th):
+        return 0.5 * xk @ (th["Q"] @ xk) + th["c"] @ xk
+
+    def ce_blk(xk, th):
+        return th["Ce"] @ xk - th["e"]
+
+    def ci_blk(xk, th):
+        return th["Ci"] @ xk + th["di"]
+
+    def g_blk(xk, th):
+        return th["G"] @ xk
+
+    ufeas = jnp.sum(jax.vmap(g_blk)(xfeas, theta), axis=0)
+    ccdata = {"u0": ufeas}
+
+    def cc(u, ccd):
+        return (u - ccd["u0"])[:mc]          # eq coupling
+
+    def cci(u, ccd):
+        # NONLINEAR global caps, strictly feasible at xfeas (value 0.5)
+        v = u - ccd["u0"]
+        return 0.5 - jnp.stack([v[0] + 0.1 * jnp.sum(v ** 2),
+                                -v[1] + 0.05 * jnp.sum(v ** 2)])
+
+    spec = BlockNLP(f_blk=f_blk, d=d, ce_blk=ce_blk, me=me,
+                    ci_blk=ci_blk, ni=ni, g_blk=g_blk, cc=cc, p=pdim,
+                    mc=mc, cci=cci, mci=mci)
+    cfg = Cfg(float_dtype="float64", verbosity=0, niter=10, miter=25)
+    fn = make_block_solver(spec, _mesh(8), cfg)
+    x0 = jnp.zeros((K, d), jnp.float64)
+    res_d = fn(x0, theta, ccdata=ccdata)
+    assert int(res_d.signal) == 1, np.asarray(res_d.kkt)
+
+    # caps hold at the solution
+    u = jnp.sum(jax.vmap(g_blk)(res_d.x, theta), axis=0)
+    assert np.all(np.asarray(cci(u, ccdata)) >= -1e-6)
+
+    # assembled single-device problem: coupling ineq appended to ci
+    def f(x):
+        return jnp.sum(jax.vmap(f_blk)(x.reshape(K, d), theta))
+
+    def ce(x):
+        xb = x.reshape(K, d)
+        per = jax.vmap(ce_blk)(xb, theta).reshape(-1)
+        uu = jnp.sum(jax.vmap(g_blk)(xb, theta), axis=0)
+        return jnp.concatenate([per, cc(uu, ccdata)])
+
+    def ci(x):
+        xb = x.reshape(K, d)
+        per = jax.vmap(ci_blk)(xb, theta).reshape(-1)
+        uu = jnp.sum(jax.vmap(g_blk)(xb, theta), axis=0)
+        return jnp.concatenate([per, cci(uu, ccdata)])
+
+    prob = Problem(f=f, nvar=K * d, neq=K * me + mc,
+                   nineq=K * ni + mci, ce=ce, ci=ci)
+    lda0 = np.concatenate([np.zeros(K * me + mc),
+                           np.full(K * ni + mci, cfg.Ktol)])
+    res_s = solve_single(prob, x0.reshape(-1), cfg,
+                         lda0=jnp.asarray(lda0))
+    assert int(res_s.signal) == 1, np.asarray(res_s.kkt)
+    np.testing.assert_allclose(np.asarray(res_d.x).reshape(-1),
+                               np.asarray(res_s.x), rtol=1e-6, atol=1e-8)
+    # coupling-inequality multipliers and slacks agree with the assembled
+    # solve's tail entries
+    lda_s = np.asarray(res_s.lda)
+    np.testing.assert_allclose(np.asarray(res_d.lci),
+                               lda_s[K * me + mc + K * ni:], atol=1e-6)
+    s_s = np.asarray(res_s.s)
+    np.testing.assert_allclose(np.asarray(res_d.sc), s_s[K * ni:],
+                               atol=1e-6)
+    assert abs(int(res_d.iter_count) - int(res_s.iter_count)) <= 1
+
+
+def test_block_coupling_inequality_mehrotra():
+    """The Mehrotra predictor-corrector handles coupling-inequality pairs
+    (centering over block + replicated slacks) and reaches the same
+    KKT point."""
+    from pyipm_tpu.parallel.schur import BlockNLP, make_block_solver
+
+    K, d, pdim, mci = 8, 3, 2, 1
+    key = jax.random.key(22)
+    kq, kc, kg, kx = jax.random.split(key, 4)
+    Q0 = jax.random.normal(kq, (K, d, d), jnp.float64) / np.sqrt(d)
+    Q = jnp.einsum("kij,klj->kil", Q0, Q0) + jnp.eye(d, dtype=jnp.float64)
+    c = jax.random.normal(kc, (K, d), jnp.float64)
+    Gl = jax.random.normal(kg, (K, pdim, d), jnp.float64) / np.sqrt(K * d)
+    xfeas = jax.random.normal(kx, (K, d), jnp.float64) * 0.1
+    theta = {"Q": Q, "c": c, "G": Gl,
+             "lb": jnp.full((K, d), -2.0, jnp.float64)}
+    ufeas = jnp.einsum("kpd,kd->p", Gl, xfeas)
+    ccdata = {"u0": ufeas}
+
+    kw = dict(
+        f_blk=lambda xk, th: 0.5 * xk @ (th["Q"] @ xk) + th["c"] @ xk,
+        d=d, ci_blk=lambda xk, th: xk - th["lb"], ni=d, ci_identity=True,
+        g_blk=lambda xk, th: th["G"] @ xk,
+        cci=lambda u, ccd: 1.0 - (u - ccd["u0"])[:mci], mci=mci, p=pdim)
+    x0 = jnp.zeros((K, d), jnp.float64)
+    mesh = _mesh(8)
+    r_a = make_block_solver(
+        BlockNLP(**kw), mesh,
+        IPMConfig(float_dtype="float64", verbosity=0, niter=10,
+                  miter=25))(x0, theta, ccdata=ccdata)
+    r_m = make_block_solver(
+        BlockNLP(**kw), mesh,
+        IPMConfig(float_dtype="float64", verbosity=0, niter=10,
+                  miter=25, mu_strategy="mehrotra"))(
+        x0, theta, ccdata=ccdata)
+    assert int(r_a.signal) == 1 and int(r_m.signal) == 1
+    np.testing.assert_allclose(np.asarray(r_a.x), np.asarray(r_m.x),
+                               rtol=1e-5, atol=1e-6)
