@@ -319,6 +319,7 @@ def make_resource_alloc_spec(nvar: int, nres: int = 4, neq: int = 1,
     if cap == "eq":
         return BlockNLP(cc=lambda u, ccd: u - ccd["budget"], mc=nres,
                         **kw)
-    assert cap == "ineq"
-    return BlockNLP(cci=lambda u, ccd: ccd["budget"] - u, mci=nres,
-                    **kw)
+    if cap == "ineq":
+        return BlockNLP(cci=lambda u, ccd: ccd["budget"] - u, mci=nres,
+                        **kw)
+    raise ValueError(f"cap must be 'eq' or 'ineq', got {cap!r}")

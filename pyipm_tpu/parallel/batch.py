@@ -164,8 +164,9 @@ def make_wave_batch_solver(problem: Optional[Problem] = None,
             # optional geometric growth: the straggler tail is a few % of
             # instances, so later waves trade wasted slots for fewer
             # host syncs/dispatches (budget is a runtime arg — no new
-            # compile per size)
-            wv = min(wv * wave_growth, float(max_wave))
+            # compile per size).  The cap bounds only the GROWN value —
+            # a caller-tuned wave larger than max_wave is never shrunk.
+            wv = min(wv * wave_growth, float(max(max_wave, wave)))
         else:
             # defensive: finish any remainder unbudgeted (unreachable for
             # sane wave sizes — every wave makes progress toward the niter

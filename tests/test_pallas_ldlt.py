@@ -22,7 +22,8 @@ def _rand_sym(rng, B, n):
     return jnp.asarray(A, jnp.float32)
 
 
-@pytest.mark.parametrize("B,n", [(128, 16), (256, 24), (130, 8)])
+@pytest.mark.parametrize("B,n", [(128, 16), (256, 24), (130, 8),
+                                 (128, 48), (128, 64)])
 def test_batched_factor_matches_reference(rng, B, n):
     A = _rand_sym(rng, B, n)
     with pltpu.force_tpu_interpret_mode():
@@ -41,7 +42,8 @@ def test_batched_factor_matches_reference(rng, B, n):
     np.testing.assert_array_equal(np.asarray(d) < 0, np.asarray(dr) < 0)
 
 
-@pytest.mark.parametrize("B,n", [(128, 16), (129, 12)])
+@pytest.mark.parametrize("B,n", [(128, 16), (129, 12), (128, 48),
+                                 (128, 64)])
 def test_batched_solve_matches_reference(rng, B, n):
     A = _rand_sym(rng, B, n)
     b = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
