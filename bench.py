@@ -221,6 +221,16 @@ def main():
     base_iters = sum(int(ri.iter_count) for ri in rs)
     base_iters_per_sec = max(base_iters, 1) / base_elapsed
 
+    # serving latency: one warm single-instance solve, synchronous
+    # (scalar fetch per call = the online-serving pattern)
+    lats = []
+    for i in range(min(nb, 8)):
+        t0 = time.perf_counter()
+        r1 = single(x0_single, insts[i])
+        float(r1.fval)
+        lats.append(time.perf_counter() - t0)
+    single_latency_ms = round(float(np.median(lats)) * 1e3, 3)
+
     # ----- lockstep comparison point (the round-1 architecture) -------
     lockstep = make_qp_batch_solver(cfg, nvar=D, nlin=L)
     jax.block_until_ready(lockstep(x0, data))      # compile
@@ -277,6 +287,7 @@ def main():
         "backend": jax.default_backend(),
         "baseline": "host-loop single-instance solves (reference-style)",
         "baseline_iters_per_sec": round(base_iters_per_sec, 1),
+        "single_solve_latency_ms": single_latency_ms,
         "lockstep_iters_per_sec": round(lock_ips, 1),
         "lockstep_wall_s": round(lock_elapsed, 3),
         **mehrotra,
