@@ -1144,7 +1144,8 @@ def sample_separable_eq(key, K: int, d: int, mc: int, me: int = 1,
 
 
 def sample_block_general(key, K: int, d: int, me: int = 1, ni: int = 2,
-                         p: int = 2, mc: int = 1, dtype=jnp.float64,
+                         p: int = 2, mc: int = 1, mci: int = 0,
+                         dtype=jnp.float64,
                          nonlinear_cc: bool = True):
     """Random GENERAL block NLP exercising every constraint class the
     reference supports (pyipm.py:29-36), block-separable: convex quadratic
@@ -1194,7 +1195,16 @@ def sample_block_general(key, K: int, d: int, me: int = 1, ni: int = 2,
             return (u - ccd["u0"])[:mc]
 
     ccdata = {"u0": ufeas}
+    if mci:
+        def cci(u, ccd):
+            # nonlinear global caps, strictly feasible at xfeas (=0.5)
+            v = u - ccd["u0"]
+            return 0.5 - (v[:mci] + 0.05 * jnp.sum(v ** 2)
+                          * jnp.ones((mci,), v.dtype))
+    else:
+        cci = None
     spec = BlockNLP(f_blk=f_blk, d=d, ce_blk=ce_blk, me=me,
-                    ci_blk=ci_blk, ni=ni, g_blk=g_blk, cc=cc, p=p, mc=mc)
+                    ci_blk=ci_blk, ni=ni, g_blk=g_blk, cc=cc, p=p, mc=mc,
+                    cci=cci, mci=mci)
     x0 = jnp.zeros((K, d), dtype)
     return spec, theta, ccdata, x0
