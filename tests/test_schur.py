@@ -552,3 +552,41 @@ def test_block_coupling_inequality_mehrotra():
     assert int(r_a.signal) == 1 and int(r_m.signal) == 1
     np.testing.assert_allclose(np.asarray(r_a.x), np.asarray(r_m.x),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_block_coupling_inequality_only_barrier():
+    """Edge: NO per-block inequalities (ni=0) but a coupling inequality —
+    the barrier lives entirely in the replicated slacks (empty block
+    slack arrays through FTB/centrality/merit paths)."""
+    from pyipm_tpu.parallel.schur import BlockNLP, make_block_solver
+
+    K, d, pdim, mci, me = 8, 3, 2, 1, 1
+    key = jax.random.key(23)
+    kq, kc, ke, kg, kx = jax.random.split(key, 5)
+    Q0 = jax.random.normal(kq, (K, d, d), jnp.float64) / np.sqrt(d)
+    Q = jnp.einsum("kij,klj->kil", Q0, Q0) + jnp.eye(d, dtype=jnp.float64)
+    c = jax.random.normal(kc, (K, d), jnp.float64)
+    Ce = jax.random.normal(ke, (K, me, d), jnp.float64) / np.sqrt(d)
+    Gl = jax.random.normal(kg, (K, pdim, d), jnp.float64) / np.sqrt(K * d)
+    xfeas = jax.random.normal(kx, (K, d), jnp.float64) * 0.1
+    theta = {"Q": Q, "c": c, "Ce": Ce,
+             "e": jnp.einsum("kmd,kd->km", Ce, xfeas), "G": Gl}
+    ccdata = {"u0": jnp.einsum("kpd,kd->p", Gl, xfeas)}
+
+    spec = BlockNLP(
+        f_blk=lambda xk, th: 0.5 * xk @ (th["Q"] @ xk) + th["c"] @ xk,
+        d=d, ce_blk=lambda xk, th: th["Ce"] @ xk - th["e"], me=me,
+        g_blk=lambda xk, th: th["G"] @ xk,
+        cci=lambda u, ccd: 1.0 - (u - ccd["u0"])[:mci], mci=mci, p=pdim)
+    cfg = IPMConfig(float_dtype="float64", verbosity=0, niter=10,
+                    miter=25)
+    fn = make_block_solver(spec, _mesh(8), cfg)
+    res = fn(jnp.zeros((K, d), jnp.float64), theta, ccdata=ccdata)
+    assert int(res.signal) == 1, np.asarray(res.kkt)
+    # block equalities and the cap both hold
+    x = np.asarray(res.x)
+    ceb = np.asarray(jnp.einsum("kmd,kd->km", theta["Ce"], res.x)
+                     - theta["e"])
+    assert np.linalg.norm(ceb.ravel()) <= 1e-4
+    u = np.asarray(jnp.einsum("kpd,kd->p", theta["G"], res.x))
+    assert (1.0 - (u - np.asarray(ccdata["u0"]))[:mci]).min() >= -1e-6
