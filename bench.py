@@ -178,23 +178,18 @@ def main():
         "fail_iters": [int(i) for i in iters_arr[fail_idx][:32]],
     }
     if fail_idx.size and not os.environ.get("BENCH_SKIP_RESCUE"):
+        from pyipm_tpu.parallel.batch import rescue_failures
+
         rcfg = cfg.replace(mu_strategy="mehrotra", niter=30, miter=20)
-        sub_data = QPData(*(jnp.asarray(np.asarray(a)[fail_idx])
-                            for a in data))
-
-        def rescue_one(x0_i, data_i):
-            prob = make_qp_problem(data_i, D, L)
-            return make_solver(prob, rcfg, jit=False)(x0_i)
-
         t0 = time.perf_counter()
-        rres = jax.block_until_ready(jax.jit(jax.vmap(rescue_one))(
-            jnp.zeros((fail_idx.size, D), jnp.float32), sub_data))
+        merged, n_failed, rescued = rescue_failures(
+            res, x0, cfg, lambda d_: make_qp_problem(d_, D, L), data,
+            rescue_config=rcfg)
+        jax.block_until_ready(merged.signal)
         tail["rescue_wall_s"] = round(time.perf_counter() - t0, 3)
-        rsigs = np.asarray(rres.signal)
-        rescued = int(np.sum(np.isin(rsigs, (1, 2))))
         tail["rescued"] = rescued
         tail["hit_rate_after_rescue"] = round(
-            float((np.sum(np.isin(sigs, (1, 2))) + rescued) / B), 5)
+            float(np.mean(np.isin(np.asarray(merged.signal), (1, 2)))), 5)
 
     # ----- reference-style host-loop baseline on a subsample ----------
     # one jitted single-instance solver taking instance data as an

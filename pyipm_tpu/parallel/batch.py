@@ -191,3 +191,65 @@ def solve_batch(problem: Problem, x0_batch, config: Optional[IPMConfig] = None,
     if lda0 is not None:
         args.append(jnp.asarray(lda0))
     return fn(*args)
+
+
+def rescue_failures(result: SolverResult, x0_batch, config: IPMConfig,
+                    family: Callable, data_batch,
+                    rescue_config: Optional[IPMConfig] = None):
+    """Re-solve the instances a batched run did NOT converge (signal not
+    in {1, 2}) under a fresh, stronger configuration and scatter the
+    successes back.
+
+    The r03 failure-tail analysis (benchmarks/results/r03/
+    bench_headline.json) found every straggler of the 10k-QP fleet —
+    line-search aborts (-2) and budget-outs (-1) alike — recovers under a
+    fresh Mehrotra solve with a raised outer budget; this helper makes
+    that rescue a one-call library pattern (hit rate 1.0000 there).
+
+    Args:
+      result: the batched SolverResult to repair.
+      x0_batch: the original starts (rescues restart cold by default).
+      config: the config the batch ran under (basis for the default
+        rescue config).
+      family: ``data -> Problem`` (same contract as
+        :func:`make_wave_batch_solver`).
+      data_batch: per-instance data pytree, leading axis = instance.
+      rescue_config: override; default = ``config`` with
+        mu_strategy='auto' and a 3x outer budget.
+
+    Returns ``(merged_result, n_failed, n_rescued)``.
+    """
+    sigs = np.asarray(result.signal)
+    fail_idx = np.flatnonzero(~np.isin(sigs, (1, 2)))
+    if fail_idx.size == 0:
+        return result, 0, 0
+    rcfg = (rescue_config if rescue_config is not None
+            else config.replace(mu_strategy="auto",
+                                niter=3 * config.niter))
+    idx = jnp.asarray(fail_idx, jnp.int32)
+    sub_data = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[fail_idx]),
+                            data_batch)
+    sub_x0 = jnp.asarray(np.asarray(x0_batch)[fail_idx])
+
+    def rescue_one(x0_i, data_i):
+        return make_solver(family(data_i), rcfg.replace(verbosity=0),
+                           jit=False)(x0_i)
+
+    rres = jax.jit(jax.vmap(rescue_one))(sub_x0, sub_data)
+    rsig = np.asarray(rres.signal)
+    ok = np.isin(rsig, (1, 2))
+    # scatter back only the successes (failed rescues keep the original
+    # diagnostic signal)
+    okj = jnp.asarray(ok)
+
+    def merge(a, b):
+        if a.shape[1:] != b.shape[1:]:
+            # unmergeable under differing budgets (metric histories):
+            # keep the original buffers
+            return a
+        sel = okj.reshape((-1,) + (1,) * (b.ndim - 1))
+        patched = jnp.where(sel, b, jnp.take(a, idx, axis=0))
+        return a.at[idx].set(patched)
+
+    merged = jax.tree.map(merge, result, rres)
+    return merged, int(fail_idx.size), int(np.sum(ok))

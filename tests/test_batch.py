@@ -76,3 +76,44 @@ def test_batch_sharded_over_mesh():
     shard_devs = {d for s in res_sharded.x.addressable_shards
                   for d in [s.device]}
     assert len(shard_devs) == ndev
+
+
+def test_rescue_failures_recovers_stragglers():
+    """rescue_failures re-solves non-converged instances under a stronger
+    config and scatters successes back, leaving converged instances
+    untouched (the r03 failure-tail recipe as a library call)."""
+    import jax
+
+    from pyipm_tpu.models.random_nlp import (
+        make_qp_problem, sample_qp_batch,
+    )
+    from pyipm_tpu.parallel.batch import rescue_failures
+
+    B, D, L = 32, 8, 2
+    data = sample_qp_batch(jax.random.key(5), B, D, nlin=L,
+                           dtype=jnp.float64)
+    cfg = IPMConfig(float_dtype="float64", verbosity=0, niter=2, miter=3)
+
+    def family(d_):
+        return make_qp_problem(d_, D, L)
+
+    def solve_one(x0_i, d_):
+        from pyipm_tpu.core.solver import make_solver
+        return make_solver(family(d_), cfg, jit=False)(x0_i)
+
+    x0 = jnp.zeros((B, D), jnp.float64)
+    res = jax.jit(jax.vmap(solve_one))(x0, data)
+    sigs0 = np.asarray(res.signal)
+    n_fail0 = int(np.sum(~np.isin(sigs0, (1, 2))))
+    assert n_fail0 > 0, "fixture should produce budget-outs at niter=2"
+
+    merged, n_failed, n_rescued = rescue_failures(
+        res, x0, cfg, family, data)
+    assert n_failed == n_fail0
+    assert n_rescued == n_failed          # QPs: all rescue under 'auto'
+    sigs1 = np.asarray(merged.signal)
+    assert np.all(np.isin(sigs1, (1, 2)))
+    # originally-converged instances are untouched
+    keep = np.isin(sigs0, (1, 2))
+    np.testing.assert_array_equal(np.asarray(merged.x)[keep],
+                                  np.asarray(res.x)[keep])
