@@ -33,7 +33,7 @@ from pyipm_tpu.config import IPMConfig
 from pyipm_tpu.core.problem import Problem, make_problem
 from pyipm_tpu.core.solver import SolverState, SolverResult, make_solver, solve
 from pyipm_tpu.api import IPM
-from pyipm_tpu.parallel.batch import solve_batch
+from pyipm_tpu.parallel.batch import rescue_failures, solve_batch
 from pyipm_tpu.parallel.fleet import solve_fleet
 from pyipm_tpu.parallel.schur import BlockNLP, make_block_solver
 
@@ -49,6 +49,7 @@ __all__ = [
     "make_solver",
     "solve",
     "solve_batch",
+    "rescue_failures",
     "solve_fleet",
     "BlockNLP",
     "make_block_solver",

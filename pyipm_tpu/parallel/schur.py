@@ -1095,10 +1095,10 @@ def sample_separable(key, K: int, d: int, mc: int, dtype=jnp.float32):
     random coupling, x=lb+1 strictly feasible for the bounds and the
     coupling rhs chosen from a feasible point."""
     kq, kc, ka, kx = jax.random.split(key, 4)
-    G = jax.random.normal(kq, (K, d, d), dtype) / np.sqrt(d)
+    G = jax.random.normal(kq, (K, d, d), dtype) / float(np.sqrt(d))
     Q = jnp.einsum("kij,klj->kil", G, G) + jnp.eye(d, dtype=dtype)[None]
     c = jax.random.normal(kc, (K, d), dtype)
-    A = jax.random.normal(ka, (K, mc, d), dtype) / np.sqrt(K * d)
+    A = jax.random.normal(ka, (K, mc, d), dtype) / float(np.sqrt(K * d))
     lb = jnp.full((K, d), -2.0, dtype)
     xfeas = jax.random.normal(kx, (K, d), dtype) * 0.1
     b = jnp.einsum("kcd,kd->c", A, xfeas)
@@ -1119,11 +1119,11 @@ def sample_separable_eq(key, K: int, d: int, mc: int, me: int = 1,
     (linear: Ck x_k = ek, chosen feasible at a reference point) on top of
     coupling + optional bounds — the eq-beyond-box structure."""
     kq, kc, ka, kx, ke = jax.random.split(key, 5)
-    G = jax.random.normal(kq, (K, d, d), dtype) / np.sqrt(d)
+    G = jax.random.normal(kq, (K, d, d), dtype) / float(np.sqrt(d))
     Q = jnp.einsum("kij,klj->kil", G, G) + jnp.eye(d, dtype=dtype)[None]
     c = jax.random.normal(kc, (K, d), dtype)
-    A = jax.random.normal(ka, (K, mc, d), dtype) / np.sqrt(K * d)
-    Ck = jax.random.normal(ke, (K, me, d), dtype) / np.sqrt(d)
+    A = jax.random.normal(ka, (K, mc, d), dtype) / float(np.sqrt(K * d))
+    Ck = jax.random.normal(ke, (K, me, d), dtype) / float(np.sqrt(d))
     lb = jnp.full((K, d), -3.0, dtype)
     xfeas = jax.random.normal(kx, (K, d), dtype) * 0.1
     b = jnp.einsum("kcd,kd->c", A, xfeas)
@@ -1155,12 +1155,12 @@ def sample_block_general(key, K: int, d: int, me: int = 1, ni: int = 2,
     constructed feasible at a reference point.  Returns
     (spec, theta, ccdata, x0)."""
     kq, kc, ke, ki, kg, kx = jax.random.split(key, 6)
-    Gq = jax.random.normal(kq, (K, d, d), dtype) / np.sqrt(d)
+    Gq = jax.random.normal(kq, (K, d, d), dtype) / float(np.sqrt(d))
     Q = jnp.einsum("kij,klj->kil", Gq, Gq) + jnp.eye(d, dtype=dtype)[None]
     c = jax.random.normal(kc, (K, d), dtype)
-    Ce = jax.random.normal(ke, (K, me, d), dtype) / np.sqrt(d)
-    Ciq = jax.random.normal(ki, (K, ni, d), dtype) / np.sqrt(d)
-    Gl = jax.random.normal(kg, (K, p, d), dtype) / np.sqrt(K * d)
+    Ce = jax.random.normal(ke, (K, me, d), dtype) / float(np.sqrt(d))
+    Ciq = jax.random.normal(ki, (K, ni, d), dtype) / float(np.sqrt(d))
+    Gl = jax.random.normal(kg, (K, p, d), dtype) / float(np.sqrt(K * d))
     xfeas = jax.random.normal(kx, (K, d), dtype) * 0.1
     ee = jnp.einsum("kmd,kd->km", Ce, xfeas)
     # ci(xfeas) = 1 > 0 strictly feasible

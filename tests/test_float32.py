@@ -30,3 +30,26 @@ def test_f32_ldlt_converges(num):
     # f32 oracle: looser than the f64 Stol=1e-3 only in principle; in
     # practice all 10 land well inside it
     assert spec.distance_to_truth(x) <= 5e-3
+
+
+def test_float32_coupling_inequality_distributed():
+    """The f32 robustness stack holds for the new coupling-inequality
+    path on the 8-device mesh (Ruiz + mu floor + guarded refinement)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyipm_tpu.parallel.schur import (
+        make_block_solver, sample_block_general,
+    )
+
+    K, d = 8, 3
+    spec, theta, ccdata, x0 = sample_block_general(
+        jax.random.key(31), K, d, me=1, ni=2, p=2, mc=1, mci=1,
+        dtype=jnp.float32)
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), ("model",))
+    cfg = IPMConfig(float_dtype="float32", verbosity=0, niter=10,
+                    miter=25)
+    res = make_block_solver(spec, mesh, cfg)(x0, theta, ccdata=ccdata)
+    assert int(res.signal) == 1, np.asarray(res.kkt)
+    assert np.all(np.asarray(res.kkt) <= cfg.Ktol * (1 + 1e-6))
+    assert np.all(np.asarray(res.sc) > 0)
