@@ -108,11 +108,11 @@ def sample_dense_nlp(key, nvar: int, neq: int, hidden: int = 256,
                      dtype=jnp.float32) -> DenseNLPData:
     kp, kc, kw, ka, kx = jax.random.split(key, 5)
     D, M, H = nvar, neq, hidden
-    G = jax.random.normal(kp, (D, D), dtype) / np.sqrt(D)
+    G = jax.random.normal(kp, (D, D), dtype) / float(np.sqrt(D))
     P = G @ G.T + 0.5 * jnp.eye(D, dtype=dtype)
     c = jax.random.normal(kc, (D,), dtype)
     W = jax.random.normal(kw, (H, D), dtype)
-    Aeq = jax.random.normal(ka, (M, D), dtype) / np.sqrt(D)
+    Aeq = jax.random.normal(ka, (M, D), dtype) / float(np.sqrt(D))
     xfeas = jax.random.normal(kx, (D,), dtype) * 0.1
     beq = Aeq @ xfeas                      # guarantees feasibility
     return DenseNLPData(P, c, W, Aeq, beq, jnp.asarray(0.5, dtype))
