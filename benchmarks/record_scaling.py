@@ -72,12 +72,14 @@ def main():
     dp = _load(f"results/{r}/dp_weak_scaling.json")
     schur = _load(f"results/{r}/schur_weak_scaling.json")
     million = _load(f"results/{r}/schur_million_var.json")
+    largeblock = _load(f"results/{r}/schur_largeblock_262k.json")
 
     out = {
         "round": args.round,
         "dp_weak_scaling": dp,
         "schur_weak_scaling": schur,
         "million_var_solve": million,
+        "largeblock_d1024_solve": largeblock,
         "ici_roofline": ici_roofline(million),
         "caveat": ("real multi-chip hardware is unavailable in this "
                    "environment; virtual-CPU-mesh timings validate the "
