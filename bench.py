@@ -27,6 +27,25 @@ import time
 
 import numpy as np
 
+# Any timed section whose measured wall falls below this floor is treated
+# as a timing failure (the r03 driver artifact recorded a 340M iters/s
+# "lockstep" rate from a 0.0 s wall: on the remote TPU backend
+# ``block_until_ready`` can return before execution finishes, so a second
+# call with bit-identical inputs timed to ~nothing).  Every timed section
+# below (a) feeds each rep FRESH (perturbed) inputs so no result can be
+# reused, (b) uses a SCALAR FETCH (device->host transfer of a value the
+# computation produced) as the barrier, and (c) divides only when the
+# wall clears this floor — otherwise the derived rate is reported as
+# None alongside a ``*_timing_suspect`` flag instead of a nonsense stat.
+WALL_FLOOR_S = 0.010
+
+
+def guarded_rate(count, wall, floor=WALL_FLOOR_S):
+    """count/wall, or None when the wall is below the trust floor."""
+    if wall < floor:
+        return None
+    return round(count / wall, 1)
+
 
 def bench_kkt_gflops(jax, jnp, n=4096, m=256, reps=8):
     """BASELINE.md config 4: inertia-corrected KKT factor+solve GFLOP/s
@@ -79,6 +98,8 @@ def bench_kkt_gflops(jax, jnp, n=4096, m=256, reps=8):
 
     t_one = timed(make_rep(1), H, g)
     t_all = timed(make_rep(reps), H, g)
+    if t_all < WALL_FLOOR_S or t_all <= t_one:
+        return None, K           # timing not trustworthy; never divide
     dt = max((t_all - t_one) / (reps - 1), 1e-9)
     flops = K ** 3 / 3 * 2          # LDL^T multiply-adds
     return round(flops / dt / 1e9, 1), K
@@ -142,25 +163,38 @@ def main():
         first_wave=fw, wave=wv, wave_growth=wg, min_pad=256)
 
     # warm every wave-bucket compilation once (excluded from timing); also
-    # the reported convergence stats
-    res = jax.block_until_ready(solver(x0, data))
+    # the reported convergence stats.  The iter_count fetch is the
+    # barrier (a device->host transfer cannot complete before the
+    # computation has; block_until_ready alone has been observed to
+    # return early on the remote TPU backend).
+    res = solver(x0, data)
+    int(np.sum(np.asarray(res.iter_count)))
 
     # --- timing methodology -------------------------------------------
     # The wave solver is host-orchestrated (one small signal fetch per
-    # wave), so wall-clock around the call IS the honest number; take the
-    # median of reps.  (Do NOT stage R solves inside one fori_loop
-    # program: a minutes-long uninterrupted device computation starves the
-    # remote worker's heartbeat and crashes it.)
+    # wave), so wall-clock around the call IS the honest number; each rep
+    # gets a FRESH perturbed x0 (nothing can be reused) and ends with a
+    # scalar-array fetch as the barrier; take the median of reps.  (Do
+    # NOT stage R solves inside one fori_loop program: a minutes-long
+    # uninterrupted device computation starves the remote worker's
+    # heartbeat and crashes it.)
     reps = int(os.environ.get("BENCH_REPS", 3))
-    times = []
-    for _ in range(reps):
+    rng = np.random.default_rng(7)
+    rep_x0s = jax.block_until_ready([
+        jnp.asarray(1e-6 * rng.standard_normal((B, D)), jnp.float32)
+        for _ in range(reps)])
+    times, rep_iters = [], []
+    for x0r in rep_x0s:
         t0 = time.perf_counter()
-        jax.block_until_ready(solver(x0, data))
+        r = solver(x0r, data)
+        it = int(np.sum(np.asarray(r.iter_count)))     # fetch = barrier
         times.append(time.perf_counter() - t0)
+        rep_iters.append(it)
     elapsed = float(np.median(times))
-
-    total_iters = int(np.sum(np.asarray(res.iter_count)))
-    iters_per_sec = total_iters / elapsed
+    assert elapsed > WALL_FLOOR_S, f"headline wall {elapsed} below floor"
+    total_iters = int(np.median(rep_iters))
+    iters_per_sec = float(np.median(
+        [it / t for it, t in zip(rep_iters, times)]))
     sigs = np.asarray(res.signal)
     hit_rate = float(np.mean(np.isin(sigs, (1, 2))))
 
@@ -210,10 +244,10 @@ def main():
 
     insts = jax.block_until_ready([inst(i) for i in range(nb)])
     t0 = time.perf_counter()
-    rs = [single(x0_single, di) for di in insts]   # async dispatch,
-    jax.block_until_ready(rs)                      # one final sync:
+    rs = [single(x0_single, di) for di in insts]   # async dispatch;
+    base_iters = sum(int(ri.iter_count) for ri in rs)  # fetch = barrier
     base_elapsed = time.perf_counter() - t0        # generous to baseline
-    base_iters = sum(int(ri.iter_count) for ri in rs)
+    assert base_elapsed > WALL_FLOOR_S, base_elapsed
     base_iters_per_sec = max(base_iters, 1) / base_elapsed
 
     # serving latency: one warm single-instance solve, synchronous
@@ -227,12 +261,19 @@ def main():
     single_latency_ms = round(float(np.median(lats)) * 1e3, 3)
 
     # ----- lockstep comparison point (the round-1 architecture) -------
+    # fresh perturbed x0 for the timed call (the r03 artifact's corrupt
+    # 340M iters/s row came from timing a bit-identical repeat call whose
+    # block_until_ready returned early — see WALL_FLOOR_S)
     lockstep = make_qp_batch_solver(cfg, nvar=D, nlin=L)
-    jax.block_until_ready(lockstep(x0, data))      # compile
+    wres = lockstep(x0, data)
+    int(np.sum(np.asarray(wres.iter_count)))       # compile + barrier
+    x0_lock = jax.block_until_ready(
+        jnp.asarray(1e-6 * rng.standard_normal((B, D)), jnp.float32))
     t0 = time.perf_counter()
-    lres = jax.block_until_ready(lockstep(x0, data))
+    lres = lockstep(x0_lock, data)
+    lock_iters = int(np.sum(np.asarray(lres.iter_count)))  # barrier
     lock_elapsed = time.perf_counter() - t0
-    lock_ips = int(np.sum(np.asarray(lres.iter_count))) / lock_elapsed
+    lock_ips = guarded_rate(lock_iters, lock_elapsed)
 
     # ----- Mehrotra predictor-corrector: end-to-end solve throughput --
     if strategy != "mehrotra" and not os.environ.get("BENCH_SKIP_MEHROTRA"):
@@ -240,10 +281,15 @@ def main():
         msolver = make_wave_batch_solver(
             config=mcfg, family=lambda d: make_qp_problem(d, D, L),
             first_wave=8, wave=16, min_pad=256)
-        mres = jax.block_until_ready(msolver(x0, data))   # compile+stats
+        mres = msolver(x0, data)                   # compile + stats
+        int(np.sum(np.asarray(mres.iter_count)))   # fetch = barrier
+        x0_m = jax.block_until_ready(
+            jnp.asarray(1e-6 * rng.standard_normal((B, D)), jnp.float32))
         t0 = time.perf_counter()
-        jax.block_until_ready(msolver(x0, data))
+        r_m = msolver(x0_m, data)                  # fresh inputs
+        int(np.sum(np.asarray(r_m.iter_count)))    # fetch = barrier
         m_wall = time.perf_counter() - t0
+        assert m_wall > WALL_FLOOR_S, m_wall
         m_sigs = np.asarray(mres.signal)
         mehrotra = {
             "mehrotra_solves_per_sec": round(B / m_wall, 1),
@@ -283,7 +329,7 @@ def main():
         "baseline": "host-loop single-instance solves (reference-style)",
         "baseline_iters_per_sec": round(base_iters_per_sec, 1),
         "single_solve_latency_ms": single_latency_ms,
-        "lockstep_iters_per_sec": round(lock_ips, 1),
+        "lockstep_iters_per_sec": lock_ips,        # None if wall < floor
         "lockstep_wall_s": round(lock_elapsed, 3),
         **mehrotra,
         **tail,

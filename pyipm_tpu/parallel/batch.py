@@ -227,15 +227,28 @@ def rescue_failures(result: SolverResult, x0_batch, config: IPMConfig,
             else config.replace(mu_strategy="auto",
                                 niter=3 * config.niter))
     idx = jnp.asarray(fail_idx, jnp.int32)
-    sub_data = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[fail_idx]),
+    # pad the fail set up to a power-of-two bucket (>= 32) by REPEATING
+    # the last failure, exactly the wave solver's shape-bucketing trick:
+    # rescue fleets of 9, 11, or 13 stragglers all compile (and hit the
+    # persistent compilation cache as) ONE shape, so repeated rescues are
+    # a cached sub-second call instead of a fresh multi-second compile
+    # per distinct fail count (r03 measured 8-22 s to rescue 11).  The
+    # padded solve result is sliced back to the true fail count before
+    # merging — duplicates never touch the scatter.
+    nf = int(fail_idx.size)
+    P = min(sigs.size, max(32, _next_pow2(nf)))
+    pad_idx = np.concatenate(
+        [fail_idx, np.full(max(P - nf, 0), fail_idx[-1], fail_idx.dtype)])
+    sub_data = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[pad_idx]),
                             data_batch)
-    sub_x0 = jnp.asarray(np.asarray(x0_batch)[fail_idx])
+    sub_x0 = jnp.asarray(np.asarray(x0_batch)[pad_idx])
 
     def rescue_one(x0_i, data_i):
         return make_solver(family(data_i), rcfg.replace(verbosity=0),
                            jit=False)(x0_i)
 
     rres = jax.jit(jax.vmap(rescue_one))(sub_x0, sub_data)
+    rres = jax.tree.map(lambda a: a[:nf], rres)
     rsig = np.asarray(rres.signal)
     ok = np.isin(rsig, (1, 2))
     # scatter back only the successes (failed rescues keep the original
