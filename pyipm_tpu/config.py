@@ -73,6 +73,20 @@ class IPMConfig:
     #                                step of the vectorized backtracking
     #                                scan (core/linesearch.py)
     ldlt_block: int = 128          # blocked-factorization panel size
+    schur_refine_steps: int = 2    # guarded refinement steps per bordered
+    #                                Schur direction solve
+    #                                (parallel/schur.py).  Each step costs
+    #                                ~5 small ICI collectives (see
+    #                                benchmarks/collective_census.py); the
+    #                                default 2 matches ops/condensed.py
+    #                                for single-device parity.  Latency-
+    #                                bound small-block meshes (d ~ 16,
+    #                                sub-ms steps) can drop to 1 or 0.
+    schur_refine_guard: bool = True  # keep a refinement step only when it
+    #                                  reduces the globally-reduced
+    #                                  residual (2 extra collectives per
+    #                                  step); False applies the correction
+    #                                  unguarded
     trace_metrics: bool = False    # record per-iteration metric arrays
     nan_guard: bool = True         # per-iteration finiteness check on the
     #                                iterate: terminate with signal -3

@@ -126,6 +126,18 @@ class BlockNLP:
     # recovers slacks elementwise instead of paying d^3-sized identity
     # einsums per block — a factorization-sized saving at large d
     ci_identity: bool = False
+    # RAGGED per-block constraint counts (me_k <= me, ni_k <= ni): name a
+    # theta key holding a (K, me) / (K, ni) {0,1} validity mask.  ``me``/
+    # ``ni`` become static MAXIMA; inactive rows are masked out of every
+    # residual/Jacobian/reduction and their KKT rows are identity-pinned
+    # (diagonal -1, preserving the per-block inertia target), the same
+    # static-maxima + validity-mask trick as core/lbfgs.py's fixed-size
+    # memory.  One compiled SPMD program then solves fleets of UNEQUAL
+    # blocks — the distributed analog of the reference's per-problem
+    # shape generality (reference pyipm.py:442-467).  Inactive rows'
+    # multipliers/slacks are pinned (le=0, li=0, s=1) and never move.
+    ce_mask_key: Optional[str] = None
+    ci_mask_key: Optional[str] = None
 
     def __post_init__(self):
         assert (self.me > 0) == (self.ce_blk is not None)
@@ -136,6 +148,8 @@ class BlockNLP:
             assert self.g_blk is not None and self.p > 0
         if self.ci_identity:
             assert self.ni == self.d, "ci_identity needs ci = x - lb"
+        assert self.ce_mask_key is None or self.me > 0
+        assert self.ci_mask_key is None or self.ni > 0
 
 
 class BlockResult(NamedTuple):
@@ -199,15 +213,39 @@ def make_block_solver(spec: BlockNLP, mesh,
                          if nm == axis]))
 
     # vmapped per-block primitives (the L1 derivative layer of
-    # core/problem.py, per block)
+    # core/problem.py, per block).  With ragged masks declared
+    # (spec.ce_mask_key / ci_mask_key), the vmapped constraint values and
+    # Jacobian ROWS are multiplied by the per-block validity mask right
+    # here, so every downstream consumer (residuals, merit, direction,
+    # SOC, LS init) sees exact zeros for inactive rows.
+    emk, imk = spec.ce_mask_key, spec.ci_mask_key
+
+    def _em(th):                     # (Kl, me) {0,1} mask as dtype
+        return th[emk].astype(dtype)
+
+    def _im(th):                     # (Kl, ni)
+        return th[imk].astype(dtype)
+
     f_v = jax.vmap(spec.f_blk)
     gradf_v = jax.vmap(jax.grad(spec.f_blk))
     if me:
-        ce_v = jax.vmap(spec.ce_blk)
-        Je_v = jax.vmap(jax.jacfwd(spec.ce_blk))         # (Kl, me, d)
+        _ce_raw = jax.vmap(spec.ce_blk)
+        _Je_raw = jax.vmap(jax.jacfwd(spec.ce_blk))      # (Kl, me, d)
+        if emk:
+            ce_v = lambda x, th: _ce_raw(x, th) * _em(th)   # noqa: E731
+            Je_v = lambda x, th: (_Je_raw(x, th)            # noqa: E731
+                                  * _em(th)[..., None])
+        else:
+            ce_v, Je_v = _ce_raw, _Je_raw
     if ni:
-        ci_v = jax.vmap(spec.ci_blk)
-        Ji_v = jax.vmap(jax.jacfwd(spec.ci_blk))         # (Kl, ni, d)
+        _ci_raw = jax.vmap(spec.ci_blk)
+        _Ji_raw = jax.vmap(jax.jacfwd(spec.ci_blk))      # (Kl, ni, d)
+        if imk:
+            ci_v = lambda x, th: _ci_raw(x, th) * _im(th)   # noqa: E731
+            Ji_v = lambda x, th: (_Ji_raw(x, th)            # noqa: E731
+                                  * _im(th)[..., None])
+        else:
+            ci_v, Ji_v = _ci_raw, _Ji_raw
     if has_cc:
         g_v = jax.vmap(spec.g_blk)
         G_v = jax.vmap(jax.jacfwd(spec.g_blk))           # (Kl, p, d)
@@ -233,6 +271,23 @@ def make_block_solver(spec: BlockNLP, mesh,
 
     def _psum(v):
         return lax.psum(v, axis_name=axis)
+
+    def _psum_pack(*vals):
+        """Fuse several small psums into ONE collective: flatten,
+        concatenate, psum once, split back to the input shapes.  The
+        per-element reduction is unchanged (all-reduce is elementwise),
+        so fused and unfused programs produce identical values — but the
+        d=16-per-block weak-scaling config is collective-LATENCY bound
+        (SCALING_r03 ici_roofline), and this turns ~5 dependent-free
+        scalar reductions per phase into one."""
+        flat = [jnp.reshape(v, (-1,)) for v in vals]
+        tot = _psum(jnp.concatenate(flat) if len(flat) > 1 else flat[0])
+        out, off = [], 0
+        for v, f in zip(vals, flat):
+            out.append(jnp.reshape(tot[off:off + f.shape[0]],
+                                   jnp.shape(v)))
+            off += f.shape[0]
+        return out
 
     # ------------------------------------------------------------------
     # residuals / merit on LOCAL (Kl, ...) slabs; psum for global scalars.
@@ -270,10 +325,13 @@ def make_block_solver(spec: BlockNLP, mesh,
         if me:
             rx = rx - jnp.einsum("kmd,km->kd", Je_v(x, th), le)
         if ni:
-            rx = rx - (li if iid
+            rx = rx - ((li * _im(th) if imk else li) if iid
                        else jnp.einsum("knd,kn->kd", Ji_v(x, th), li))
             rs = li - mu / (s + guard)
             rci = ci_v(x, th) - s
+            if imk:
+                rs = rs * _im(th)
+                rci = rci * _im(th)
         else:
             rs = jnp.zeros((Kl, 0), dtype)
             rci = jnp.zeros((Kl, 0), dtype)
@@ -298,46 +356,282 @@ def make_block_solver(spec: BlockNLP, mesh,
             rcci = jnp.zeros((0,), dtype)
         return rx, rs, rce, rcc, rci, rsc, rcci, (u, Jcc, Jcci, w)
 
-    def kkt_norms_g(x, s, sc, le, li, lc, lci, th, ccdata, mu):
+    def kkt_norms_g(x, s, sc, le, li, lc, lci, th, ccdata, mu,
+                    extras=()):
+        """Global KKT norms with the four residual reductions FUSED into
+        one psum (plus the coupling-state u psum when coupling exists —
+        that one is serially required to even evaluate the residuals).
+        ``extras``: additional local scalars to ride the same collective
+        (returns (kkt, reduced_extras) when given)."""
         rx, rs, rce, rcc, rci, rsc, rcci, _ = residual_blocks(
             x, s, sc, le, li, lc, lci, th, ccdata, mu)
         zero = jnp.zeros((), dtype)
-        k1 = jnp.sqrt(_psum(jnp.sum(rx ** 2)))
-        s_sq = _psum(jnp.sum((rs * s) ** 2)) if ni else zero
-        k2 = (jnp.sqrt(s_sq + jnp.sum((rsc * sc) ** 2))
+        parts = [jnp.sum(rx ** 2),
+                 jnp.sum((rs * s) ** 2) if ni else zero,
+                 jnp.sum(rce ** 2) if me else zero,
+                 jnp.sum(rci ** 2) if ni else zero]
+        red = _psum(jnp.stack(
+            parts + [jnp.asarray(e, dtype) for e in extras]))
+        k1 = jnp.sqrt(red[0])
+        k2 = (jnp.sqrt(red[1] + jnp.sum((rsc * sc) ** 2))
               if has_barrier else zero)
-        ce_sq = _psum(jnp.sum(rce ** 2)) if me else zero
-        k3 = (jnp.sqrt(ce_sq + jnp.sum(rcc ** 2))
+        k3 = (jnp.sqrt(red[2] + jnp.sum(rcc ** 2))
               if (me or mc) else zero)
-        ci_sq = _psum(jnp.sum(rci ** 2)) if ni else zero
-        k4 = (jnp.sqrt(ci_sq + jnp.sum(rcci ** 2))
+        k4 = (jnp.sqrt(red[3] + jnp.sum(rcci ** 2))
               if has_barrier else zero)
-        return jnp.stack([k1, k2, k3, k4])
+        kkt = jnp.stack([k1, k2, k3, k4])
+        if extras:
+            return kkt, red[4:]
+        return kkt
+
+    def _con_l1_parts(x, s, th):
+        """Local (pre-psum) l1 infeasibility parts + the local pooled-
+        feature sum: everything con_l1/phi need from ONE collective."""
+        zero = jnp.zeros((), dtype)
+        ce_l1 = jnp.sum(jnp.abs(ce_v(x, th))) if me else zero
+        if ni:
+            dev = ci_v(x, th) - s
+            if imk:
+                dev = dev * _im(th)
+            ci_l1 = jnp.sum(jnp.abs(dev))
+        else:
+            ci_l1 = zero
+        gsum = (jnp.sum(g_v(x, th), axis=0) if has_cc
+                else jnp.zeros((0,), dtype))
+        return ce_l1, ci_l1, gsum
+
+    def _con_l1_from(ce_l1, ci_l1, u, sc, ccdata):
+        """Assemble the global l1 infeasibility from psum-reduced
+        parts (u already global)."""
+        v = ce_l1 + ci_l1
+        if mc:
+            v = v + jnp.sum(jnp.abs(spec.cc(u, ccdata)))
+        if mci:
+            v = v + jnp.sum(jnp.abs(spec.cci(u, ccdata) - sc))
+        return v
 
     def con_l1(x, s, sc, th, ccdata):
         """Global l1 infeasibility |ce|_1 + |cc|_1 + |ci-s|_1 +
-        |cci-sc|_1."""
-        v = jnp.zeros((), dtype)
-        if me:
-            v = v + _psum(jnp.sum(jnp.abs(ce_v(x, th))))
-        if ni:
-            v = v + _psum(jnp.sum(jnp.abs(ci_v(x, th) - s)))
-        if has_cc:
-            u = _psum(jnp.sum(g_v(x, th), axis=0))
-            if mc:
-                v = v + jnp.sum(jnp.abs(spec.cc(u, ccdata)))
-            if mci:
-                v = v + jnp.sum(jnp.abs(spec.cci(u, ccdata) - sc))
-        return v
+        |cci-sc|_1 — ONE fused psum."""
+        ce_l1, ci_l1, gsum = _con_l1_parts(x, s, th)
+        ce_g, ci_g, u = _psum_pack(ce_l1, ci_l1, gsum)
+        return _con_l1_from(ce_g, ci_g, u, sc, ccdata)
 
     def phi_g(x, s, sc, th, ccdata, mu, nu):
-        """l1 merit (reference pyipm.py:670-694), globally reduced."""
-        val = fval_g(x, th) + nu * con_l1(x, s, sc, th, ccdata)
+        """l1 merit (reference pyipm.py:670-694), globally reduced —
+        objective, l1 parts, barrier sum, and pooled features ride ONE
+        fused psum (the line search pays this per trial chunk)."""
+        ce_l1, ci_l1, gsum = _con_l1_parts(x, s, th)
+        floc = jnp.sum(f_v(x, th))
         if ni:
-            val = val - mu * _psum(jnp.sum(jnp.log(s)))
+            logs = jnp.log(s)
+            if imk:
+                logs = logs * _im(th)    # inactive slacks pinned at 1
+            logloc = jnp.sum(logs)
+        else:
+            logloc = jnp.zeros((), dtype)
+        fg, ce_g, ci_g, logg, u = _psum_pack(
+            floc, ce_l1, ci_l1, logloc, gsum)
+        val = fg + nu * _con_l1_from(ce_g, ci_g, u, sc, ccdata)
+        if ni:
+            val = val - mu * logg
         if mci:
             val = val - mu * jnp.sum(jnp.log(sc))
         return val
+
+    # ------------------------------------------------------------------
+    def ls_multiplier_init(x, th, ccdata):
+        """Distributed form of the reference's least-squares multiplier
+        initializer lda0 = pinv(J^T) grad f (reference pyipm.py:723-730;
+        single-device: core/kkt.py init_lambda via ops/linalg.py
+        lstsq_minnorm's regularized normal equations).
+
+        The assembled Jacobian-transpose J (rows = all K*d primal
+        variables, columns = all multipliers) is block-structured:
+        per-block columns B_k = [Je_k^T, Ji_k^T] touch only block k's
+        rows, while the q = mc + mci coupling columns C_k = G_k^T Jc^T
+        (Jc = [Jcc; Jcci]) run through every block.  Both lstsq_minnorm
+        branches therefore reduce to per-block small SPD solves plus one
+        replicated q x q border system assembled from ICI psums:
+
+          * underdetermined (K*d <= #multipliers): Woodbury on
+            J J^T = blockdiag(B_k B_k^T) + C C^T;
+          * overdetermined: Schur complement over the coupling columns of
+            the normal matrix J^T J.
+
+        Both use lstsq_minnorm's Tikhonov term (reg * scale with the
+        GLOBAL trace) and its guarded refinement against the
+        unregularized normal operator, so the result matches the
+        single-device assembled init to roundoff.  Returns
+        (le, li, lc, lci) pre-clamp."""
+        Kl = x.shape[0]
+        q = mc + mci
+        nloc = me + ni
+        b = gradf_v(x, th)                           # (Kl, d)
+        cols = []
+        if me:
+            cols.append(jnp.swapaxes(Je_v(x, th), 1, 2))
+        if ni:
+            if iid:
+                JiT_ls = jnp.broadcast_to(
+                    jnp.eye(d, dtype=dtype)[None], (Kl, d, d))
+                if imk:
+                    JiT_ls = JiT_ls * _im(th)[:, None, :]
+                cols.append(JiT_ls)
+            else:
+                cols.append(jnp.swapaxes(Ji_v(x, th), 1, 2))
+        B = (jnp.concatenate(cols, axis=2) if cols
+             else jnp.zeros((Kl, d, 0), dtype))      # (Kl, d, me+ni)
+        if has_cc:
+            u, _, Jcc_, _, Jcci_, _ = coupling_state(
+                x, th, ccdata, jnp.zeros((mc,), dtype),
+                jnp.zeros((mci,), dtype))
+            Jc = jnp.concatenate([Jcc_, Jcci_], axis=0)   # (q, p)
+            G = G_v(x, th)
+            C = jnp.einsum("kpd,qp->kdq", G, Jc)     # (Kl, d, q)
+        else:
+            C = jnp.zeros((Kl, d, 0), dtype)
+        mtot = nglob * Kl * d
+        ntot = nglob * Kl * nloc + q     # static MAXIMUM column count
+        # the Tikhonov scale divides by the ACTIVE column count under
+        # ragged masks (matches an assembled problem with only the
+        # active rows); the under/over-determined BRANCH choice stays on
+        # the static maxima (documented: with masks dropping the active
+        # count below mtot the Woodbury branch still computes a valid
+        # regularized LS init, just not the assembled-branch bit pattern)
+        ntot_act = ntot
+        if (me and emk) or (ni and imk):
+            ntot_act = q + _psum(
+                (jnp.sum(_em(th)) if (me and emk)
+                 else jnp.asarray(nglob * Kl * me, dtype))
+                + (jnp.sum(_im(th)) if (ni and imk)
+                   else jnp.asarray(nglob * Kl * ni, dtype)))
+        reg = jnp.sqrt(jnp.asarray(eps, dtype))
+        tr = _psum(jnp.sum(B ** 2) + jnp.sum(C ** 2))
+        eye_q = jnp.eye(q, dtype=dtype)
+
+        def refine(y, apply_G, solve_fn, rhs):
+            """lstsq_minnorm's guarded refinement against the
+            UNregularized operator, with globally psum-reduced residual
+            norms and the same carried-residual / stall-exit logic."""
+            r = jax.tree.map(lambda a_, b_: a_ - b_, rhs, apply_G(y))
+
+            def gnorm(r_):
+                loc, repl = r_
+                return jnp.sqrt(_psum(jnp.sum(loc ** 2))
+                                + jnp.sum(repl ** 2))
+
+            rn = gnorm(r)
+
+            def cond_fn(c):
+                i, _, _, _, stalled = c
+                return (i < 3) & ~stalled
+
+            def body_fn(c):
+                i, y_, r_, rn_, _ = c
+                y1 = jax.tree.map(lambda a_, b_: a_ + b_, y_,
+                                  solve_fn(r_))
+                r1 = jax.tree.map(lambda a_, b_: a_ - b_, rhs,
+                                  apply_G(y1))
+                rn1 = gnorm(r1)
+                better = rn1 < rn_
+                y_ = jax.tree.map(
+                    lambda a_, b_: jnp.where(better, b_, a_), y_, y1)
+                r_ = jax.tree.map(
+                    lambda a_, b_: jnp.where(better, b_, a_), r_, r1)
+                rn_ = jnp.where(better, rn1, rn_)
+                return i + 1, y_, r_, rn_, ~better
+
+            _, y, _, _, _ = lax.while_loop(
+                cond_fn, body_fn,
+                (jnp.zeros((), jnp.int32), y, r, rn,
+                 jnp.zeros((), jnp.bool_)))
+            return y
+
+        if mtot <= ntot:
+            # underdetermined: lda = J^T (J J^T + reg*s*I)^{-1} b with
+            # J J^T = blockdiag(B_k B_k^T) + C C^T (Woodbury border)
+            scale = jnp.maximum(tr / mtot, jnp.ones((), dtype))
+            Dk = (jnp.einsum("kdm,kem->kde", B, B)
+                  + (reg * scale) * jnp.eye(d, dtype=dtype)[None])
+            ch = jax.vmap(lambda A_: jax.scipy.linalg.cho_factor(
+                A_, lower=True)[0])(Dk)
+            dinv = jax.vmap(lambda c_, r_: jax.scipy.linalg.cho_solve(
+                (c_, True), r_))
+
+            def solve_reg(rhs):
+                rb, _ = rhs                          # ((Kl,d), (0,))
+                y0 = dinv(ch, rb)
+                if q:
+                    T = dinv(ch, C.reshape(Kl, d, q))
+                    S = eye_q + _psum(jnp.einsum("kdq,kdr->qr", C, T))
+                    zq = jnp.linalg.solve(
+                        S, _psum(jnp.einsum("kdq,kd->q", C, y0)))
+                    y0 = y0 - jnp.einsum("kdq,q->kd", T, zq)
+                return (y0, jnp.zeros((0,), dtype))
+
+            def apply_unreg(y):
+                yb, _ = y
+                out = jnp.einsum("kdm,kem->kde", B, B) @ yb[..., None]
+                out = out[..., 0]
+                if q:
+                    cz = _psum(jnp.einsum("kdq,kd->q", C, yb))
+                    out = out + jnp.einsum("kdq,q->kd", C, cz)
+                return (out, jnp.zeros((0,), dtype))
+
+            rhs = (b, jnp.zeros((0,), dtype))
+            y = refine(solve_reg(rhs), apply_unreg, solve_reg, rhs)
+            yb = y[0]
+            lda_blk = jnp.einsum("kdm,kd->km", B, yb)    # (Kl, me+ni)
+            zc = (_psum(jnp.einsum("kdq,kd->q", C, yb)) if q
+                  else jnp.zeros((0,), dtype))
+        else:
+            # overdetermined: normal equations (J^T J + reg*s*I) lda =
+            # J^T b, Schur complement over the coupling columns
+            scale = jnp.maximum(tr / ntot_act, jnp.ones((), dtype))
+            Dk = (jnp.einsum("kdm,kdn->kmn", B, B)
+                  + (reg * scale) * jnp.eye(nloc, dtype=dtype)[None])
+            BC = jnp.einsum("kdm,kdq->kmq", B, C)    # (Kl, nloc, q)
+            ch = jax.vmap(lambda A_: jax.scipy.linalg.cho_factor(
+                A_, lower=True)[0])(Dk)
+            dinv = jax.vmap(lambda c_, r_: jax.scipy.linalg.cho_solve(
+                (c_, True), r_))
+
+            def solve_reg(rhs):
+                rb, rq = rhs                         # (Kl,nloc), (q,)
+                y0 = dinv(ch, rb)
+                if q:
+                    T = dinv(ch, BC)
+                    S = (_psum(jnp.einsum("kdq,kdr->qr", C, C))
+                         + (reg * scale) * eye_q
+                         - _psum(jnp.einsum("kmq,kmr->qr", BC, T)))
+                    zq = jnp.linalg.solve(
+                        S, rq - _psum(jnp.einsum("kmq,km->q", BC, y0)))
+                    yk = y0 - jnp.einsum("kmq,q->km", T, zq)
+                else:
+                    zq = jnp.zeros((0,), dtype)
+                    yk = y0
+                return (yk, zq)
+
+            def apply_unreg(y):
+                yk, zq = y
+                Byk = jnp.einsum("kdm,km->kd", B, yk)
+                if q:
+                    Byk = Byk + jnp.einsum("kdq,q->kd", C, zq)
+                out_b = jnp.einsum("kdm,kd->km", B, Byk)
+                out_q = (_psum(jnp.einsum("kdq,kd->q", C, Byk)) if q
+                         else zq)
+                return (out_b, out_q)
+
+            rhs = (jnp.einsum("kdm,kd->km", B, b),
+                   (_psum(jnp.einsum("kdq,kd->q", C, b)) if q
+                    else jnp.zeros((0,), dtype)))
+            lda_blk, zc = refine(solve_reg(rhs), apply_unreg, solve_reg,
+                                 rhs)
+
+        le0 = lda_blk[:, :me]
+        li0 = lda_blk[:, me:]
+        return le0, li0, zc[:mc], zc[mc:]
 
     # ------------------------------------------------------------------
     def direction(x, s, sc, le, li, lc, lci, th, ccdata, mu, delta):
@@ -363,6 +657,8 @@ def make_block_solver(spec: BlockNLP, mesh,
         W = W_v(x, th, le, li, w)                        # (Kl, d, d)
         if ni:
             sig = li / (s + guard)                       # (Kl, ni)
+            if iid and imk:
+                sig = sig * _im(th)      # inactive rows contribute 0
             if iid:
                 Ji = JiT = None                          # never built
                 A = W.at[:, jnp.arange(d), jnp.arange(d)].add(sig)
@@ -377,10 +673,14 @@ def make_block_solver(spec: BlockNLP, mesh,
             A = W
 
         def ji_mv(v):      # Ji @ v per block: (Kl, d) -> (Kl, ni)
-            return v if iid else jnp.einsum("knd,kd->kn", Ji, v)
+            if iid:
+                return v * _im(th) if imk else v
+            return jnp.einsum("knd,kd->kn", Ji, v)
 
         def jiT_mv(w):     # Ji^T @ w per block: (Kl, ni) -> (Kl, d)
-            return w if iid else jnp.einsum("kdn,kn->kd", JiT, w)
+            if iid:
+                return w * _im(th) if imk else w
+            return jnp.einsum("kdn,kn->kd", JiT, w)
         if me:
             Je = Je_v(x, th)                             # (Kl, me, d)
             JeT = jnp.swapaxes(Je, 1, 2)
@@ -388,6 +688,13 @@ def make_block_solver(spec: BlockNLP, mesh,
             M = M.at[:, :d, :d].set(A)
             M = M.at[:, :d, d:].set(JeT)
             M = M.at[:, d:, :d].set(Je)
+            if emk:
+                # identity-pin inactive equality rows: diagonal -1 keeps
+                # the per-block inertia target at ``me`` negative pivots
+                # uniformly, and with the (masked) zero rhs pins dae = 0
+                em_pin = _em(th) - 1.0           # 0 active, -1 inactive
+                M = M.at[:, jnp.arange(d, n),
+                         jnp.arange(d, n)].add(em_pin)
         else:
             Je = jnp.zeros((Kl, 0, d), dtype)
             M = A
@@ -484,8 +791,13 @@ def make_block_solver(spec: BlockNLP, mesh,
                        + delta_app[:, None] * dx)
             if me:
                 r1 = r1 - jnp.einsum("kmd,km->kd", Je, dae)
-                r3e = g3e - (jnp.einsum("kmd,kd->km", Je, dx)
-                             - eq_app[:, None] * dae)
+                row = (jnp.einsum("kmd,kd->km", Je, dx)
+                       - eq_app[:, None] * dae)
+                if emk:
+                    # the identity-pinned inactive rows are part of the
+                    # factored system being refined
+                    row = row + (_em(th) - 1.0) * dae
+                r3e = g3e - row
             else:
                 r3e = g3e
             if ni:
@@ -546,16 +858,22 @@ def make_block_solver(spec: BlockNLP, mesh,
             return jnp.concatenate([rr1, g3e], axis=1) if me else rr1
 
         def solve_refined(g2_, g2c_):
-            """Bordered solve + 2 guarded refinement steps for the system
+            """Bordered solve + guarded refinement steps for the system
             with complementarity rhs g2_/g2c_ (ops/condensed.py
-            pattern)."""
+            pattern).  Step count and guarding are config knobs
+            (IPMConfig.schur_refine_steps/_guard): each guarded step
+            costs ~5 small psums, so latency-bound meshes can trade
+            refinement for collectives (collective-census artifact)."""
             steps = recover(*solve_full(assemble_rhs0(g2_, g2c_), g3c),
                             g2_, g4, g2c_, g4c)
-            for _ in range(2):
+            for _ in range(max(int(cfg.schur_refine_steps), 0)):
                 r = full_residual(*steps, g2_, g2c_)
-                rn0 = res_norm2(r)
                 corr = condensed_apply(r)
                 steps2 = tuple(a + b for a, b in zip(steps, corr))
+                if not cfg.schur_refine_guard:
+                    steps = steps2
+                    continue
+                rn0 = res_norm2(r)
                 rn1 = res_norm2(full_residual(*steps2, g2_, g2c_))
                 better = rn1 < rn0
                 steps = tuple(jnp.where(better, a2, a)
@@ -570,27 +888,48 @@ def make_block_solver(spec: BlockNLP, mesh,
             # pairs (block slacks + replicated coupling slacks), corrector
             # with the second-order complementarity terms.
             one = jnp.ones((), dtype)
-            g2_aff = -li                  # -(li - 0/(s+guard))
+            msk = _im(th) if (ni and imk) else None
+            g2_aff = -(li * msk) if msk is not None else -li
             g2c_aff = -lci
             (dx_a, ds_a, dsc_a, dae_a, db_a, dbc_a,
              dac_a) = solve_refined(g2_aff, g2c_aff)
             dli_a = -db_a                 # post-flip multiplier steps
             dlci_a = -dbc_a
-            a_s = max_step_ftb(s, ds_a, one, axis=axis) if ni else one
-            a_l = max_step_ftb(li, dli_a, one, axis=axis) if ni else one
+            if ni:
+                # affine boundary steps: one fused pmin for both minima
+                a_sl = lax.pmin(jnp.stack([
+                    max_step_ftb(s, ds_a, one),
+                    max_step_ftb(li, dli_a, one)]), axis_name=axis)
+                a_s, a_l = a_sl[0], a_sl[1]
+            else:
+                a_s = a_l = one
             if mci:
                 a_s = jnp.minimum(a_s, max_step_ftb(sc, dsc_a, one))
                 a_l = jnp.minimum(a_l, max_step_ftb(lci, dlci_a, one))
-            ntot_g = _psum(jnp.asarray(s.size, dtype)) + mci
-            mu_mean = (_psum(jnp.sum(s * li)) + jnp.sum(sc * lci)) / ntot_g
-            mu_aff = (_psum(jnp.sum((s + a_s * ds_a)
-                                    * (li + a_l * dli_a)))
-                      + jnp.sum((sc + a_s * dsc_a)
-                                * (lci + a_l * dlci_a))) / ntot_g
+            if msk is not None:
+                # centering statistics over ACTIVE barrier pairs only;
+                # the pair sums and the active count share ONE psum
+                sl_pairs = msk * s * li
+                aff_pairs = msk * ((s + a_s * ds_a)
+                                   * (li + a_l * dli_a))
+                sl_g, aff_g, cnt_g = _psum_pack(
+                    jnp.sum(sl_pairs), jnp.sum(aff_pairs),
+                    jnp.sum(msk))
+                ntot_g = cnt_g + mci
+            else:
+                sl_g, aff_g = _psum_pack(jnp.sum(s * li),
+                                         jnp.sum((s + a_s * ds_a)
+                                                 * (li + a_l * dli_a)))
+                # the global pair count is static — no collective needed
+                ntot_g = jnp.asarray(nglob * s.size + mci, dtype)
+            mu_mean = (sl_g + jnp.sum(sc * lci)) / ntot_g
+            mu_aff = (aff_g + jnp.sum((sc + a_s * dsc_a)
+                                      * (lci + a_l * dlci_a))) / ntot_g
             sigma_c = jnp.clip((mu_aff / (mu_mean + guard)) ** 3, 0.0, 1.0)
             mu_new = jnp.maximum(sigma_c * mu_mean,
                                  jnp.asarray(cfg.mu_floor, dtype))
-            g2_m = g2_aff + (mu_new - ds_a * dli_a) / (s + guard)
+            corr = (mu_new - ds_a * dli_a) / (s + guard)
+            g2_m = g2_aff + (corr * msk if msk is not None else corr)
             g2c_m = (g2c_aff + (mu_new - dsc_a * dlci_a) / (sc + guard)
                      if mci else g2c_aff)
             dx, ds, dsc, dae, db, dbc, dac = solve_refined(g2_m, g2c_m)
@@ -632,33 +971,42 @@ def make_block_solver(spec: BlockNLP, mesh,
                  retries, mu_new) = direction(
                      st.x, s_blk, sc, le, li, lc, lci, th, ccdata,
                      st.mu, st.delta)
-            # under 'mehrotra' the barrier evolves per iteration inside
-            # the direction solve (core/solver.py does the same).
-            # reg_retries is declared REPLICATED in the state specs while
-            # each device's escalation loop trips independently — psum to
-            # the global total before accumulating
-            st = st._replace(mu=mu_new, delta=delta_new,
-                             reg_retries=st.reg_retries + _psum(retries))
             # multiplier sign flip (reference pyipm.py:1723-1725)
             dle, dli, dlc, dlci = -dae, -db, -dac, -dbc
 
-            # merit penalty update (pyipm.py:1727-1735; shared formula)
-            cl1 = con_l1(st.x, s_blk, sc, th, ccdata)
-            bdot = _psum(jnp.sum(gradf_v(st.x, th) * dx))
-            if ni:
-                bdot = bdot + _psum(
-                    jnp.sum(-st.mu / (s_blk + guard) * ds))
+            # fused post-direction reductions (collective-census item):
+            # the reg-retry count (reg_retries is declared REPLICATED in
+            # the state specs while each device's escalation loop trips
+            # independently), the merit-penalty l1 parts, the pooled
+            # features, and the two dphi dot products ride ONE psum —
+            # the formulas (pyipm.py:1727-1735) are unchanged
+            ce_l1, ci_l1, gsum = _con_l1_parts(st.x, s_blk, th)
+            gdot = jnp.sum(gradf_v(st.x, th) * dx)
+            bdot_s = (jnp.sum(-st.mu / (s_blk + guard) * ds) if ni
+                      else jnp.zeros((), dtype))
+            retr_g, ce_g, ci_g, gdot_g, bds_g, u_g = _psum_pack(
+                jnp.asarray(retries, dtype), ce_l1, ci_l1, gdot, bdot_s,
+                gsum)
+            st = st._replace(
+                mu=mu_new, delta=delta_new,
+                reg_retries=st.reg_retries + retr_g.astype(jnp.int32))
+            cl1 = _con_l1_from(ce_g, ci_g, u_g, sc, ccdata)
+            bdot = gdot_g + bds_g
             if mci:
                 bdot = bdot + jnp.sum(-st.mu / (sc + guard) * dsc)
             nu = jnp.maximum(st.nu,
                              nu_threshold(bdot, cl1, cfg.rho, tiny))
 
-            # global fraction-to-the-boundary (closed form + pmin)
+            # global fraction-to-the-boundary (closed form; the slack and
+            # multiplier minima share ONE fused pmin)
             one = jnp.ones((), dtype)
-            a_s = (max_step_ftb(s_blk, ds, cfg.tau, axis=axis)
-                   if ni else one)
-            a_l = (max_step_ftb(li, dli, cfg.tau, axis=axis)
-                   if ni else one)
+            if ni:
+                a_sl = lax.pmin(jnp.stack([
+                    max_step_ftb(s_blk, ds, cfg.tau),
+                    max_step_ftb(li, dli, cfg.tau)]), axis_name=axis)
+                a_s, a_l = a_sl[0], a_sl[1]
+            else:
+                a_s = a_l = one
             if mci:
                 a_s = jnp.minimum(a_s, max_step_ftb(sc, dsc, cfg.tau))
                 a_l = jnp.minimum(a_l, max_step_ftb(lci, dlci, cfg.tau))
@@ -695,8 +1043,12 @@ def make_block_solver(spec: BlockNLP, mesh,
                     Kl = xa.shape[0]
                     rce_n = (ce_v(xa, th) if me
                              else jnp.zeros((Kl, 0), dtype))
-                    rci_n = (ci_v(xa, th) - sa if ni
-                             else jnp.zeros((Kl, 0), dtype))
+                    if ni:
+                        rci_n = ci_v(xa, th) - sa
+                        if imk:
+                            rci_n = rci_n * _im(th)
+                    else:
+                        rci_n = jnp.zeros((Kl, 0), dtype)
                     if has_cc:
                         un = _psum(jnp.sum(g_v(xa, th), axis=0))
                         rcc_n = (spec.cc(un, ccdata) if mc
@@ -759,19 +1111,37 @@ def make_block_solver(spec: BlockNLP, mesh,
             sn = sn._replace(iter_count=sn.iter_count + 1)
             len_, lin_, lcn_, lcin_ = sn.lda
             sbn_, scn_ = sn.s
-            with jax.named_scope("ipm-kkt-residual"):
-                sn = sn._replace(kkt=kkt_norms_g(
-                    sn.x, sbn_, scn_, len_, lin_, lcn_, lcin_, th,
-                    ccdata, sn.mu))
-
+            # post-step reductions fused onto the KKT-residual psum: the
+            # nan-guard non-finite count and (eq-only Ftol) the local
+            # objective sum ride the same collective as the four norms
+            extras = []
             if cfg.nan_guard:
-                # in-loop sanitizer (SURVEY.md §5): OR-reduced across
-                # devices via a psum of non-finite counts
                 bad_local = (jnp.sum(~jnp.isfinite(sn.x))
                              + jnp.sum(~jnp.isfinite(sbn_))
                              + jnp.sum(~jnp.isfinite(len_))
                              + jnp.sum(~jnp.isfinite(lin_)))
-                finite = ((_psum(bad_local) == 0)
+                # non-finite residual sums must not poison the packed
+                # lanes' interpretation — the count lane itself is exact
+                extras.append(bad_local.astype(dtype))
+            want_f = cfg.Ftol is not None and not has_barrier
+            if want_f:
+                extras.append(jnp.sum(f_v(sn.x, th)))
+            with jax.named_scope("ipm-kkt-residual"):
+                if extras:
+                    kktv, ext_g = kkt_norms_g(
+                        sn.x, sbn_, scn_, len_, lin_, lcn_, lcin_, th,
+                        ccdata, sn.mu, extras=tuple(extras))
+                else:
+                    kktv = kkt_norms_g(
+                        sn.x, sbn_, scn_, len_, lin_, lcn_, lcin_, th,
+                        ccdata, sn.mu)
+                    ext_g = ()
+                sn = sn._replace(kkt=kktv)
+
+            if cfg.nan_guard:
+                # in-loop sanitizer (SURVEY.md §5): OR-reduced across
+                # devices via the fused psum of non-finite counts
+                finite = ((ext_g[0] == 0)
                           & jnp.all(jnp.isfinite(lcn_))
                           & jnp.all(jnp.isfinite(scn_))
                           & jnp.all(jnp.isfinite(lcin_))
@@ -797,9 +1167,10 @@ def make_block_solver(spec: BlockNLP, mesh,
                     alpha=h.alpha.at[t].set(sn.alpha),
                     delta=h.delta.at[t].set(dmax)))
 
-            if cfg.Ftol is not None and not has_barrier:
-                # per-inner-iteration Ftol, eq-only (pyipm.py:1756-1766)
-                f_new = fval_g(sn.x, th)
+            if want_f:
+                # per-inner-iteration Ftol, eq-only (pyipm.py:1756-1766);
+                # f_new came back on the fused KKT collective
+                f_new = ext_g[-1]
                 live = sn.signal != -2
                 hit = live & (jnp.abs(sn.f_past - f_new)
                               <= abs(cfg.Ftol))
@@ -816,15 +1187,22 @@ def make_block_solver(spec: BlockNLP, mesh,
         def centrality_stats(st):
             _, li_, _, lci_ = st.lda
             s_, sc_ = st.s
-            sl = jnp.sum(s_ * li_) if ni else jnp.zeros((), dtype)
+            msk = _im(th) if (ni and imk) else None
+            pairs = ((msk * s_ * li_) if msk is not None else s_ * li_) \
+                if ni else None
+            sl = jnp.sum(pairs) if ni else jnp.zeros((), dtype)
             sl = _psum(sl) + (jnp.sum(sc_ * lci_) if mci else 0.0)
             if ni:
-                smin = lax.pmin(jnp.min(s_ * li_), axis_name=axis)
+                pmin_in = (jnp.where(msk > 0, pairs, jnp.inf)
+                           if msk is not None else pairs)
+                smin = lax.pmin(jnp.min(pmin_in), axis_name=axis)
                 if mci:
                     smin = jnp.minimum(smin, jnp.min(sc_ * lci_))
             else:
                 smin = jnp.min(sc_ * lci_)
-            return sl, smin, Kl * nglob * ni + mci
+            ntot = (_psum(jnp.sum(msk)) + mci if msk is not None
+                    else Kl * nglob * ni + mci)
+            return sl, smin, ntot
 
         return make_loop_engine(
             cfg, inner_iter=make_inner_iter(th, ccdata),
@@ -834,30 +1212,53 @@ def make_block_solver(spec: BlockNLP, mesh,
             unconstrained=(me + ni + mc + mci) == 0,
             dtype=dtype)
 
-    def local_init(x0, th, ccdata, s0, le0, li0, lc0) -> SolverState:
+    def local_init(x0, th, ccdata, s0, le0, li0, lc0,
+                   lci0=None) -> SolverState:
         Kl = x0.shape[0]
         x = x0.astype(dtype)
         if ni:
             s = (jnp.maximum(ci_v(x, th), cfg.Ktol).astype(dtype)
                  if s0 is None else s0.astype(dtype))
+            if imk:
+                # inactive slacks pinned at 1 (log s = 0, never stepped)
+                s = jnp.where(_im(th) > 0, s, jnp.ones((), dtype))
         else:
             s = jnp.zeros((Kl, 0), dtype)
         if mci:
             u0 = _psum(jnp.sum(g_v(x, th), axis=0))
             sc = jnp.maximum(spec.cci(u0, ccdata),
                              cfg.Ktol).astype(dtype)
-            lci = jnp.full((mci,), cfg.Ktol, dtype)
         else:
             sc = jnp.zeros((0,), dtype)
-            lci = jnp.zeros((0,), dtype)
         mu0 = jnp.asarray(cfg.mu if has_barrier else cfg.Ktol,
                           dtype)                  # pyipm.py:1606
-        le = (jnp.zeros((Kl, me), dtype) if le0 is None
-              else le0.astype(dtype))
-        li = (jnp.full((Kl, ni), cfg.Ktol, dtype) if li0 is None
-              else li0.astype(dtype))
-        lc = (jnp.zeros((mc,), dtype) if lc0 is None
-              else lc0.astype(dtype))
+        # default multipliers: the reference's global least-squares
+        # initializer, computed THROUGH the coupling border (negative
+        # inequality multipliers clamped to Ktol, pyipm.py:1612-1621) —
+        # same contract as the single-device default.  LS runs only when
+        # no multiplier warm start is given at all; with a partial warm
+        # start the unsupplied slots fall back to 0 (eq) / Ktol (ineq).
+        Kt = jnp.asarray(cfg.Ktol, dtype)
+        if (le0 is None and li0 is None and lc0 is None and lci0 is None
+                and (me + ni + mc + mci) > 0):
+            le, li, lc, lci = ls_multiplier_init(x, th, ccdata)
+            li = jnp.where(li < 0, Kt, li) if ni else li
+            lci = jnp.where(lci < 0, Kt, lci) if mci else lci
+        else:
+            le = (jnp.zeros((Kl, me), dtype) if le0 is None
+                  else le0.astype(dtype))
+            li = (jnp.full((Kl, ni), cfg.Ktol, dtype) if li0 is None
+                  else li0.astype(dtype))
+            lc = (jnp.zeros((mc,), dtype) if lc0 is None
+                  else lc0.astype(dtype))
+            lci = (jnp.full((mci,), cfg.Ktol, dtype) if lci0 is None
+                   else lci0.astype(dtype))
+        # ragged: inactive rows' multipliers pinned at exactly 0 (their
+        # masked residuals/steps then keep them there forever)
+        if me and emk:
+            le = le * _em(th)
+        if ni and imk:
+            li = li * _im(th)
 
         kkt0 = kkt_norms_g(x, s, sc, le, li, lc, lci, th, ccdata, mu0)
         f_past = (fval_g(x, th) if cfg.Ftol is not None
@@ -926,25 +1327,29 @@ def make_block_solver(spec: BlockNLP, mesh,
 
     _cache = {}
 
-    def fn(x0, theta, ccdata=None, s0=None, le0=None, li0=None, lc0=None):
+    def fn(x0, theta, ccdata=None, s0=None, le0=None, li0=None, lc0=None,
+           lci0=None):
         # one compiled SPMD program per combination of supplied warm-start
         # arguments (None cannot cross the shard_map boundary as an array)
-        opts = {"s0": s0, "le0": le0, "li0": li0, "lc0": lc0}
+        opts = {"s0": s0, "le0": le0, "li0": li0, "lc0": lc0,
+                "lci0": lci0}
         names = tuple(k for k, v in opts.items() if v is not None)
         if names not in _cache:
             def local(x0_, th_, ccd_, opt_):
-                kw = {k: None for k in ("s0", "le0", "li0", "lc0")}
+                kw = {k: None for k in ("s0", "le0", "li0", "lc0",
+                                        "lci0")}
                 kw.update(opt_)
                 # full-f32 matmuls (see IPMConfig.matmul_precision)
                 with jax.default_matmul_precision(cfg.matmul_precision):
                     st = local_init(x0_, th_, ccd_, kw["s0"], kw["le0"],
-                                    kw["li0"], kw["lc0"])
+                                    kw["li0"], kw["lc0"], kw["lci0"])
                     st = make_engine(th_, ccd_, x0_.shape[0]).run(st)
                     return local_finalize(st, th_, ccd_)
 
             def run(x0_, theta_, ccdata_, opt_):
                 th_sp, cc_sp = _data_specs(theta_, ccdata_)
-                opt_sp = {k: (rep if k == "lc0" else blk) for k in opt_}
+                opt_sp = {k: (rep if k in ("lc0", "lci0") else blk)
+                          for k in opt_}
                 sharded = jax.shard_map(
                     local, mesh=mesh,
                     in_specs=(blk, th_sp, cc_sp, opt_sp),
@@ -1010,6 +1415,11 @@ def make_block_solver(spec: BlockNLP, mesh,
     fn.run = run_state
     fn.finalize = finalize
     fn.config = cfg
+    # the PartitionSpec tree of the SolverState carry — multi-host
+    # checkpoint/restore needs it to rebuild sharded state arrays from
+    # host-local (or replicated-host) data (tests/schur_worker.py)
+    fn.state_specs = state_specs
+    fn.mesh = mesh
     return fn
 
 
@@ -1141,6 +1551,69 @@ def sample_separable_eq(key, K: int, d: int, mc: int, me: int = 1,
     data = SeparableData(theta=theta, A=A, b=b, lb=lb)
     x0 = jnp.zeros((K, d), dtype)
     return spec, data, x0
+
+
+def sample_block_ragged(key, K: int, d: int = 4, me: int = 2, ni: int = 3,
+                        p: int = 2, mc: int = 1, dtype=jnp.float64,
+                        seed: int = 0):
+    """Random RAGGED block NLP: per-block equality/inequality counts
+    me_k in {1..me}, ni_k in {ni-1, ni} under static maxima (me, ni) with
+    validity masks in theta ('ce_mask'/'ci_mask') — the mixed-shape fleet
+    one compiled program must solve (reference pyipm.py:442-467 solves
+    arbitrary per-problem shapes; here they coexist in ONE instance).
+    Inactive rows of the generated constraint data are filled with junk
+    on purpose: masking must make them invisible.  Returns
+    (spec, theta, ccdata, x0, me_counts, ni_counts)."""
+    kq, kc, ke, ki, kg, kx, km = jax.random.split(key, 7)
+    rng = np.random.default_rng(seed)
+    me_counts = rng.integers(1, me + 1, size=K)
+    ni_counts = rng.integers(max(ni - 1, 1), ni + 1, size=K)
+    ce_mask = (np.arange(me)[None, :] < me_counts[:, None]).astype(
+        np.float64)
+    ci_mask = (np.arange(ni)[None, :] < ni_counts[:, None]).astype(
+        np.float64)
+
+    Gq = jax.random.normal(kq, (K, d, d), dtype) / float(np.sqrt(d))
+    Q = jnp.einsum("kij,klj->kil", Gq, Gq) + jnp.eye(d, dtype=dtype)[None]
+    c = jax.random.normal(kc, (K, d), dtype)
+    Ce = jax.random.normal(ke, (K, me, d), dtype) / float(np.sqrt(d))
+    Ciq = jax.random.normal(ki, (K, ni, d), dtype) / float(np.sqrt(d))
+    Gl = jax.random.normal(kg, (K, p, d), dtype) / float(np.sqrt(K * d))
+    xfeas = jax.random.normal(kx, (K, d), dtype) * 0.1
+    ee = jnp.einsum("kmd,kd->km", Ce, xfeas)
+    di = 1.0 - jnp.einsum("knd,kd->kn", Ciq, xfeas)
+    # junk in the inactive rows (rhs shifted so they'd be violated if
+    # the masking ever leaked them into the solve)
+    junk = 37.0
+    ee = jnp.where(jnp.asarray(ce_mask) > 0, ee, junk)
+    di = jnp.where(jnp.asarray(ci_mask) > 0, di, -junk)
+    theta = {"Q": Q, "c": c, "Ce": Ce, "e": ee, "Ci": Ciq, "di": di,
+             "G": Gl, "ce_mask": jnp.asarray(ce_mask, dtype),
+             "ci_mask": jnp.asarray(ci_mask, dtype)}
+
+    def f_blk(xk, th):
+        return 0.5 * xk @ (th["Q"] @ xk) + th["c"] @ xk
+
+    def ce_blk(xk, th):
+        return th["Ce"] @ xk - th["e"]
+
+    def ci_blk(xk, th):
+        return th["Ci"] @ xk + th["di"]
+
+    def g_blk(xk, th):
+        return th["G"] @ xk
+
+    ufeas = jnp.sum(jax.vmap(g_blk)(xfeas, theta), axis=0)
+
+    def cc(u, ccd):
+        return (u - ccd["u0"])[:mc]
+
+    ccdata = {"u0": ufeas}
+    spec = BlockNLP(f_blk=f_blk, d=d, ce_blk=ce_blk, me=me,
+                    ci_blk=ci_blk, ni=ni, g_blk=g_blk, cc=cc, p=p, mc=mc,
+                    ce_mask_key="ce_mask", ci_mask_key="ci_mask")
+    x0 = jnp.zeros((K, d), dtype)
+    return spec, theta, ccdata, x0, me_counts, ni_counts
 
 
 def sample_block_general(key, K: int, d: int, me: int = 1, ni: int = 2,

@@ -24,11 +24,10 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_distributed_batch_solve():
+def _run_workers(worker_name: str, ok_marker: str, timeout: int = 420):
     port = _free_port()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    worker = os.path.join(repo, "tests", "distributed_worker.py")
+    worker = os.path.join(repo, "tests", worker_name)
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)       # worker sets its own device count
     env["JAX_PLATFORMS"] = "cpu"
@@ -43,7 +42,7 @@ def test_two_process_distributed_batch_solve():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     finally:
         for p in procs:
@@ -52,4 +51,20 @@ def test_two_process_distributed_batch_solve():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, \
             f"worker {i} failed (rc={p.returncode}):\n{out}"
-        assert f"[worker {i}] OK" in out, out
+        assert f"[worker {i}] {ok_marker}" in out, out
+
+
+@pytest.mark.slow
+def test_two_process_distributed_batch_solve():
+    _run_workers("distributed_worker.py", "OK")
+
+
+@pytest.mark.slow
+def test_two_process_schur_block_solve():
+    """The general Schur/TP solver executed ACROSS A REAL PROCESS
+    BOUNDARY: the ``model`` mesh axis spans 2 OS processes, theta/x0 are
+    block-sharded via make_array_from_process_local_data, and the solve,
+    the assembled single-device parity oracle, and an npz
+    checkpoint-pause-resume cycle all run through it
+    (tests/schur_worker.py)."""
+    _run_workers("schur_worker.py", "SCHUR OK", timeout=600)

@@ -212,10 +212,11 @@ def test_block_general_parity_with_assembled_single_device():
 
     prob = Problem(f=f, nvar=K * d, neq=K * me + mc, nineq=K * ni,
                    ce=ce, ci=ci)
-    # multipliers matching the distributed defaults
-    lda0 = np.concatenate([np.zeros(K * me + mc),
-                           np.full(K * ni, cfg.Ktol)])
-    res_s = solve_single(prob, x0.reshape(-1), cfg, lda0=jnp.asarray(lda0))
+    # NO hand-fed lda0 anywhere: both sides default to the least-squares
+    # multiplier initializer (distributed: the bordered ls_multiplier_init;
+    # single-device: core/kkt.py init_lambda) — the r3 le=0/li=Ktol
+    # deviation is gone
+    res_s = solve_single(prob, x0.reshape(-1), cfg)
     assert int(res_s.signal) == 1, np.asarray(res_s.kkt)
 
     # the two solves follow the same trajectory to roundoff
@@ -306,9 +307,7 @@ def test_block_mehrotra_parity_with_assembled_single_device():
 
     prob = Problem(f=f, nvar=K * d, neq=K * me + mc, nineq=K * ni,
                    ce=ce, ci=ci)
-    lda0 = np.concatenate([np.zeros(K * me + mc),
-                           np.full(K * ni, cfg.Ktol)])
-    res_s = solve_single(prob, x0.reshape(-1), cfg, lda0=jnp.asarray(lda0))
+    res_s = solve_single(prob, x0.reshape(-1), cfg)   # LS init both sides
     assert int(res_s.signal) == 1, np.asarray(res_s.kkt)
     np.testing.assert_allclose(np.asarray(res_d.x).reshape(-1),
                                np.asarray(res_s.x), rtol=1e-6, atol=1e-8)
@@ -496,10 +495,7 @@ def test_block_coupling_inequality_parity_with_assembled():
 
     prob = Problem(f=f, nvar=K * d, neq=K * me + mc,
                    nineq=K * ni + mci, ce=ce, ci=ci)
-    lda0 = np.concatenate([np.zeros(K * me + mc),
-                           np.full(K * ni + mci, cfg.Ktol)])
-    res_s = solve_single(prob, x0.reshape(-1), cfg,
-                         lda0=jnp.asarray(lda0))
+    res_s = solve_single(prob, x0.reshape(-1), cfg)   # LS init both sides
     assert int(res_s.signal) == 1, np.asarray(res_s.kkt)
     np.testing.assert_allclose(np.asarray(res_d.x).reshape(-1),
                                np.asarray(res_s.x), rtol=1e-6, atol=1e-8)
@@ -590,3 +586,108 @@ def test_block_coupling_inequality_only_barrier():
     assert np.linalg.norm(ceb.ravel()) <= 1e-4
     u = np.asarray(jnp.einsum("kpd,kd->p", theta["G"], res.x))
     assert (1.0 - (u - np.asarray(ccdata["u0"]))[:mci]).min() >= -1e-6
+
+
+def test_block_ragged_masks_parity_with_assembled():
+    """RAGGED per-block constraint counts (me_k, ni_k) under static
+    maxima + validity masks: ONE compiled sharded program solves a fleet
+    of unequal blocks and matches the assembled single-device solve that
+    only ever sees the active rows.  The sampler fills inactive rows
+    with junk data (violated-if-leaked), so any masking hole breaks
+    parity."""
+    from pyipm_tpu.config import IPMConfig as Cfg
+    from pyipm_tpu.core.problem import Problem
+    from pyipm_tpu.core.solver import solve as solve_single
+    from pyipm_tpu.parallel.schur import (
+        make_block_solver, sample_block_ragged,
+    )
+
+    K, d, me, ni, p, mc = 8, 4, 2, 3, 2, 1
+    spec, theta, ccdata, x0, me_counts, ni_counts = sample_block_ragged(
+        jax.random.key(21), K, d, me=me, ni=ni, p=p, mc=mc)
+    cfg = Cfg(float_dtype="float64", verbosity=0, niter=10, miter=25,
+              linear_solver="condensed")
+
+    fn = make_block_solver(spec, _mesh(8), cfg)
+    res_d = fn(x0, theta, ccdata=ccdata)
+    assert int(res_d.signal) == 1, np.asarray(res_d.kkt)
+
+    # inactive rows pinned: multipliers exactly 0, slacks exactly 1
+    ce_m = np.asarray(theta["ce_mask"])
+    ci_m = np.asarray(theta["ci_mask"])
+    np.testing.assert_array_equal(np.asarray(res_d.le)[ce_m == 0], 0.0)
+    np.testing.assert_array_equal(np.asarray(res_d.li)[ci_m == 0], 0.0)
+    np.testing.assert_array_equal(np.asarray(res_d.s)[ci_m == 0], 1.0)
+
+    # assembled single-device problem over ONLY the active rows
+    th_h = jax.tree.map(np.asarray, theta)
+
+    def f(x):
+        xb = x.reshape(K, d)
+        return jnp.sum(jax.vmap(spec.f_blk)(xb, theta))
+
+    def ce(x):
+        xb = x.reshape(K, d)
+        rows = [th_h["Ce"][k][:me_counts[k]] @ xb[k]
+                - th_h["e"][k][:me_counts[k]] for k in range(K)]
+        u = jnp.sum(jax.vmap(spec.g_blk)(xb, theta), axis=0)
+        return jnp.concatenate(rows + [spec.cc(u, ccdata)])
+
+    def ci(x):
+        xb = x.reshape(K, d)
+        rows = [th_h["Ci"][k][:ni_counts[k]] @ xb[k]
+                + th_h["di"][k][:ni_counts[k]] for k in range(K)]
+        return jnp.concatenate(rows)
+
+    neq = int(np.sum(me_counts)) + mc
+    nineq = int(np.sum(ni_counts))
+    prob = Problem(f=f, nvar=K * d, neq=neq, nineq=nineq, ce=ce, ci=ci)
+    res_s = solve_single(prob, x0.reshape(-1), cfg)   # LS init both sides
+    assert int(res_s.signal) == 1, np.asarray(res_s.kkt)
+
+    np.testing.assert_allclose(np.asarray(res_d.x).reshape(-1),
+                               np.asarray(res_s.x), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(float(res_d.fval), float(res_s.fval),
+                               rtol=1e-9)
+    assert abs(int(res_d.iter_count) - int(res_s.iter_count)) <= 1, (
+        int(res_d.iter_count), int(res_s.iter_count))
+    # active multipliers line up against the assembled layout
+    le_d = np.asarray(res_d.le)
+    li_d = np.asarray(res_d.li)
+    lda_s = np.asarray(res_s.lda)
+    le_s = np.concatenate([le_d[k][:me_counts[k]] for k in range(K)])
+    li_s = np.concatenate([li_d[k][:ni_counts[k]] for k in range(K)])
+    np.testing.assert_allclose(le_s, lda_s[:neq - mc], atol=1e-6)
+    np.testing.assert_allclose(li_s, lda_s[neq:], atol=1e-6)
+
+
+def test_block_all_ones_masks_match_unmasked():
+    """Masks of all-ones must reproduce the unmasked solver exactly (the
+    ragged machinery is a no-op when every row is active)."""
+    import dataclasses as _dc
+
+    from pyipm_tpu.config import IPMConfig as Cfg
+    from pyipm_tpu.parallel.schur import (
+        make_block_solver, sample_block_general,
+    )
+
+    K, d, me, ni, p, mc = 8, 3, 1, 2, 2, 1
+    spec, theta, ccdata, x0 = sample_block_general(
+        jax.random.key(23), K, d, me=me, ni=ni, p=p, mc=mc)
+    cfg = Cfg(float_dtype="float64", verbosity=0, niter=10, miter=25)
+
+    res_u = make_block_solver(spec, _mesh(8), cfg)(
+        x0, theta, ccdata=ccdata)
+
+    theta_m = dict(theta)
+    theta_m["ce_mask"] = jnp.ones((K, me), jnp.float64)
+    theta_m["ci_mask"] = jnp.ones((K, ni), jnp.float64)
+    spec_m = _dc.replace(spec, ce_mask_key="ce_mask",
+                         ci_mask_key="ci_mask")
+    res_m = make_block_solver(spec_m, _mesh(8), cfg)(
+        x0, theta_m, ccdata=ccdata)
+
+    assert int(res_m.signal) == int(res_u.signal) == 1
+    assert int(res_m.iter_count) == int(res_u.iter_count)
+    np.testing.assert_allclose(np.asarray(res_m.x), np.asarray(res_u.x),
+                               rtol=1e-12, atol=1e-12)
