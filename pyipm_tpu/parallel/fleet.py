@@ -132,6 +132,16 @@ def solve_fleet(problems: Sequence[Problem], x0s: Sequence,
         (see :func:`pyipm_tpu.parallel.batch.make_wave_batch_solver`).
       min_batch: buckets smaller than this run as single solves.
 
+    Bucketing contract: instances batch together only when their LIFTED
+    JAXPRS match textually (``str(jaxpr)`` fingerprint) — i.e. the same
+    f/ce/ci code traced at the same shapes/dtypes.  The fingerprint is
+    variable-name-sensitive: structurally identical problems built
+    through DIFFERENT code paths (e.g. two lambdas computing the same
+    expression) may land in separate buckets.  That splits work but
+    never changes results — every bucket solves correctly; worst case is
+    a lockstep batch of 1.  Build fleet instances through one shared
+    constructor when maximum batching matters.
+
     Returns:
       ``list[SolverResult]`` in the original instance order, matching what
       a loop of single-instance solves would produce.

@@ -412,3 +412,30 @@ def test_batched_reg_factor_rank_deficient_eq_block_no_overflow():
     dn = np.asarray(delta_new)
     assert np.all(np.isfinite(dn)) and np.all(dn < 1.0), dn
     assert np.all(np.isfinite(np.asarray(X)))
+
+
+def test_superblock_factor_solve_oracle():
+    """ldlt_factor_blocks' grouped superblock inverses + the statically
+    unrolled substitution reproduce a dense solve at non-multiple-of-
+    superblock sizes (the r4 dispatch-latency rework of the large-K KKT
+    solve path; group assembly exercised at nb2 > 1)."""
+    import numpy as np
+
+    from pyipm_tpu.ops.linalg import (
+        ldlt_factor_blocks, ldlt_solve_unrolled_blocks,
+    )
+
+    rng = np.random.default_rng(3)
+    for n in (300, 700, 1100):
+        A = rng.standard_normal((n, n))
+        A = (A + A.T) + n * np.eye(n)
+        b = rng.standard_normal(n)
+        L, d, invb = ldlt_factor_blocks(jnp.asarray(A), block=128)
+        sb = invb.shape[-1]
+        assert sb == 512            # group=4 panels of 128
+        x = ldlt_solve_unrolled_blocks(
+            L[None], d[None], invb[None], jnp.asarray(b)[None, :, None],
+            panel=sb)[0, :, 0]
+        ref = np.linalg.solve(A, b)
+        np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-9,
+                                   atol=1e-9)
