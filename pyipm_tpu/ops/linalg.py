@@ -769,16 +769,18 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
 
     def solve_refined(facs_, Hf_, rhs):
         """Cached-factor solve + guarded iterative refinement; returns
-        (solution, final residual norm)."""
+        (solution, final residual norm).  The residual is CARRIED across
+        steps — one H matvec per step, not two."""
         y = scaled_solve(facs_, rhs)
-        rn = jnp.linalg.norm(rhs - Hf_ @ y)
+        r = rhs - Hf_ @ y
+        rn = jnp.linalg.norm(r)
         for _ in range(max(ir_steps, 1)):
-            r = rhs - Hf_ @ y
             y_new = y + scaled_solve(facs_, r)
             r_new = rhs - Hf_ @ y_new
             rn_new = jnp.linalg.norm(r_new)
             better = rn_new < rn
             y = jnp.where(better, y_new, y)
+            r = jnp.where(better, r_new, r)
             rn = jnp.where(better, rn_new, rn)
         return y, rn
 
@@ -817,16 +819,17 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
         dz_new, rn_new = solve_refined(f_new, Hf_new, g)
         return dlt, f_new, Hf_new, dz_new, rn_new, t + 1
 
-    d_gate, facs, Hf, dz, rn, t_gate = lax.while_loop(
-        gate_cond, gate_body,
-        (applied_shifts[0], facs, Hf, dz, rn, jnp.zeros((), jnp.int32)))
-    gated = t_gate > 0
-    delta_new = jnp.where(gated, d_gate, delta_new)
-    retries = retries + t_gate
-    applied_shifts = (jnp.where(gated, d_gate, applied_shifts[0]),
-                      eq_applied0)
-
     if want_solver:
+        d_gate, facs, Hf, dz, rn, t_gate = lax.while_loop(
+            gate_cond, gate_body,
+            (applied_shifts[0], facs, Hf, dz, rn,
+             jnp.zeros((), jnp.int32)))
+        gated = t_gate > 0
+        delta_new = jnp.where(gated, d_gate, delta_new)
+        retries = retries + t_gate
+        applied_shifts = (jnp.where(gated, d_gate, applied_shifts[0]),
+                          eq_applied0)
+
         def apply_factors(rhs):
             return scaled_solve(facs, rhs)
 
@@ -834,6 +837,27 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
         # eq-reg actually subtracted from the eq block) — needed by callers
         # refining against the regularized system (ops/condensed.py)
         return dz, delta_new, retries, apply_factors, applied_shifts
+
+    # want_solver=False: the gate almost never fires (backward error ~eps
+    # for stable factorizations), but a bare while_loop would still carry
+    # the O(K^2) factor buffers through its boundary on every call.  Put
+    # the whole escalation loop behind a scalar lax.cond so the common
+    # path's only extra cost is the backward-error test itself.
+    def run_gate(_):
+        d_g, _f, _Hf, dz_g, _rn, t_g = lax.while_loop(
+            gate_cond, gate_body,
+            (applied_shifts[0], facs, Hf, dz, rn,
+             jnp.zeros((), jnp.int32)))
+        return dz_g, d_g, t_g
+
+    def skip_gate(_):
+        return dz, applied_shifts[0], jnp.zeros((), jnp.int32)
+
+    need_gate = backward_err(rn, dz) > gate_tol
+    dz, d_gate, t_gate = lax.cond(need_gate, run_gate, skip_gate, None)
+    gated = t_gate > 0
+    delta_new = jnp.where(gated, d_gate, delta_new)
+    retries = retries + t_gate
     return dz, delta_new, retries
 
 

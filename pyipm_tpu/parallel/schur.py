@@ -104,7 +104,21 @@ class BlockNLP:
     static.  ``hess_blk`` optionally overrides the per-block Lagrangian
     Hessian ``(x_k, theta_k, le_k, li_k, w) -> (d, d)`` with
     ``w = Jcc(u)^T lc`` (the analog of the single-device derivative
-    overrides, reference pyipm.py:223-225)."""
+    overrides, reference pyipm.py:223-225).
+
+    **Large-d-per-block boundary** (measured, v5e f32 —
+    benchmarks/results/r04/schur_dsweep.json): the per-block direction
+    cost is the dense inertia-corrected (d+me)^3/3 factorization, and
+    the sweep converged (signal 1) at every size tried — per-iteration
+    wall 7.3 ms (8 blocks x d=512), 9.9 ms (8 x 1024), 16.4 ms
+    (4 x 2048), 35.9 ms (2 x 4096) — but the batched factorization's
+    efficiency falls from ~12 TF/s at n~4k single-matrix to ~2.5 TF/s
+    for vmapped d=4096 blocks.  Practical guidance: keep d <= ~1024-2048
+    per block and PARTITION a larger subsystem into more blocks (the
+    coupling border handles the extra block count at negligible cost);
+    the reference's own escape hatch for huge dense Hessians is L-BFGS
+    (reference README.md:196-207), available in the single-device solver
+    for unpartitionable problems."""
     f_blk: Callable
     d: int
     ce_blk: Optional[Callable] = None

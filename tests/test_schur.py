@@ -691,3 +691,70 @@ def test_block_all_ones_masks_match_unmasked():
     assert int(res_m.iter_count) == int(res_u.iter_count)
     np.testing.assert_allclose(np.asarray(res_m.x), np.asarray(res_u.x),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_ls_init_overdetermined_branch_parity():
+    """The distributed LS multiplier init's OVERDETERMINED branch
+    (fewer multipliers than primal variables: normal equations over
+    multipliers, Schur over coupling columns) matches the assembled
+    single-device default-init solve: per-block eq only (me=1, ni=0)
+    plus one coupling equality."""
+    from pyipm_tpu.config import IPMConfig as Cfg
+    from pyipm_tpu.core.problem import Problem
+    from pyipm_tpu.core.solver import solve as solve_single
+    from pyipm_tpu.parallel.schur import BlockNLP, make_block_solver
+
+    K, d, me, p, mc = 8, 4, 1, 2, 1
+    kq, kc, ke, kg, kx = jax.random.split(jax.random.key(31), 5)
+    G = jax.random.normal(kq, (K, d, d)) / np.sqrt(d)
+    Q = jnp.einsum("kij,klj->kil", G, G) + jnp.eye(d)[None]
+    c = jax.random.normal(kc, (K, d))
+    Ce = jax.random.normal(ke, (K, me, d)) / np.sqrt(d)
+    Gl = jax.random.normal(kg, (K, p, d)) / np.sqrt(K * d)
+    xf = jax.random.normal(kx, (K, d)) * 0.1
+    ee = jnp.einsum("kmd,kd->km", Ce, xf)
+    theta = {"Q": Q, "c": c, "Ce": Ce, "e": ee, "G": Gl}
+    u0 = jnp.sum(jnp.einsum("kpd,kd->kp", Gl, xf), axis=0)
+    ccdata = {"u0": u0}
+
+    def f_blk(xk, th):
+        return 0.5 * xk @ (th["Q"] @ xk) + th["c"] @ xk
+
+    def ce_blk(xk, th):
+        return th["Ce"] @ xk - th["e"]
+
+    def g_blk(xk, th):
+        return th["G"] @ xk
+
+    def cc(u, ccd):
+        return (u - ccd["u0"])[:mc]
+
+    spec = BlockNLP(f_blk=f_blk, d=d, ce_blk=ce_blk, me=me,
+                    g_blk=g_blk, cc=cc, p=p, mc=mc)
+    # K*me + mc = 9 multipliers << K*d = 32 primal rows: overdetermined
+    cfg = Cfg(float_dtype="float64", verbosity=0, niter=10, miter=25,
+              linear_solver="condensed")
+    x0 = jnp.zeros((K, d))
+    res_d = make_block_solver(spec, _mesh(8), cfg)(x0, theta,
+                                                   ccdata=ccdata)
+    assert int(res_d.signal) in (1, 2), np.asarray(res_d.kkt)
+
+    def f(x):
+        return jnp.sum(jax.vmap(f_blk)(x.reshape(K, d), theta))
+
+    def ce(x):
+        xb = x.reshape(K, d)
+        per = jax.vmap(ce_blk)(xb, theta).reshape(-1)
+        u = jnp.sum(jax.vmap(g_blk)(xb, theta), axis=0)
+        return jnp.concatenate([per, cc(u, ccdata)])
+
+    prob = Problem(f=f, nvar=K * d, neq=K * me + mc, nineq=0, ce=ce)
+    res_s = solve_single(prob, x0.reshape(-1), cfg)   # LS init both
+    assert int(res_s.signal) in (1, 2), np.asarray(res_s.kkt)
+    np.testing.assert_allclose(np.asarray(res_d.x).reshape(-1),
+                               np.asarray(res_s.x), rtol=1e-6, atol=1e-8)
+    assert abs(int(res_d.iter_count) - int(res_s.iter_count)) <= 1
+    # the eq multipliers themselves agree (LS init drove both paths)
+    lda_s = np.asarray(res_s.lda)
+    np.testing.assert_allclose(np.asarray(res_d.le).reshape(-1),
+                               lda_s[:K * me], atol=1e-6)
