@@ -215,15 +215,24 @@ def main():
         from pyipm_tpu.parallel.batch import rescue_failures
 
         rcfg = cfg.replace(mu_strategy="mehrotra", niter=30, miter=20)
+        rescue_family = lambda d_: make_qp_problem(d_, D, L)  # noqa: E731
         t0 = time.perf_counter()
         merged, n_failed, rescued = rescue_failures(
-            res, x0, cfg, lambda d_: make_qp_problem(d_, D, L), data,
-            rescue_config=rcfg)
-        jax.block_until_ready(merged.signal)
+            res, x0, cfg, rescue_family, data, rescue_config=rcfg)
+        int(np.sum(np.asarray(merged.iter_count)))   # fetch = barrier
         tail["rescue_wall_s"] = round(time.perf_counter() - t0, 3)
         tail["rescued"] = rescued
         tail["hit_rate_after_rescue"] = round(
             float(np.mean(np.isin(np.asarray(merged.signal), (1, 2)))), 5)
+        # steady-state rescue cost: the cold call above pays the one-time
+        # trace+compile of the rescue program; with the pow-2 shape
+        # bucket + the solver cache in rescue_failures, repeat rescues
+        # (the serving pattern) run warm
+        t0 = time.perf_counter()
+        m2, _, _ = rescue_failures(res, x0, cfg, rescue_family, data,
+                                   rescue_config=rcfg)
+        int(np.sum(np.asarray(m2.iter_count)))
+        tail["rescue_wall_warm_s"] = round(time.perf_counter() - t0, 3)
 
     # ----- reference-style host-loop baseline on a subsample ----------
     # one jitted single-instance solver taking instance data as an
@@ -245,9 +254,14 @@ def main():
     insts = jax.block_until_ready([inst(i) for i in range(nb)])
     t0 = time.perf_counter()
     rs = [single(x0_single, di) for di in insts]   # async dispatch;
-    base_iters = sum(int(ri.iter_count) for ri in rs)  # fetch = barrier
+    # the device stream is FIFO, so fetching the LAST dispatched result
+    # forces all prior solves complete — ONE round-trip as the barrier
+    # (fetching every result would serialize nb round-trips through the
+    # remote tunnel and unfairly slow the baseline it is timing)
+    int(rs[-1].iter_count)
     base_elapsed = time.perf_counter() - t0        # generous to baseline
     assert base_elapsed > WALL_FLOOR_S, base_elapsed
+    base_iters = sum(int(ri.iter_count) for ri in rs)
     base_iters_per_sec = max(base_iters, 1) / base_elapsed
 
     # serving latency: one warm single-instance solve, synchronous

@@ -87,14 +87,17 @@ def ici_roofline(million, census):
             eff(d16_comp, n_lean), 4),
         "compute_floor_for_90pct_default_s": round(
             9 * n_default * lat_s, 6),
-        "note": ("count x latency dominates: a config clears 90% only "
-                 "when its per-iteration compute exceeds ~9*N*latency "
-                 "(~1.3 ms at N=29).  The d=16-per-block weak-scaling "
-                 "config (~1 ms steps) is therefore latency-bound and "
-                 "predicted ~0.87 at defaults — say it plainly; "
-                 "dropping to schur_refine_steps=0 (N=19) brings it to "
-                 "~0.91, and the 1M-variable config (142 ms/iter "
-                 "compute) is predicted >0.999 regardless"),
+        "note": (f"count x latency dominates: a config clears 90% only "
+                 f"when its per-iteration compute exceeds ~9*N*latency "
+                 f"({9 * n_default * lat_s * 1e3:.2f} ms at "
+                 f"N={n_default}).  The d=16-per-block weak-scaling "
+                 f"config (~1 ms steps) is therefore latency-bound and "
+                 f"predicted {eff(d16_comp, n_default):.2f} at defaults "
+                 f"— say it plainly; dropping to schur_refine_steps=0 "
+                 f"(N={n_lean}) brings it to {eff(d16_comp, n_lean):.2f}"
+                 f", and the 1M-variable config "
+                 f"({comp_s * 1e3:.0f} ms/iter compute) is predicted "
+                 f">0.999 regardless"),
         "blocks": blocks, "d": d, "mc": mc,
     }
 

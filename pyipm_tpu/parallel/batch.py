@@ -193,6 +193,9 @@ def solve_batch(problem: Problem, x0_batch, config: Optional[IPMConfig] = None,
     return fn(*args)
 
 
+_rescue_solver_cache = {}
+
+
 def rescue_failures(result: SolverResult, x0_batch, config: IPMConfig,
                     family: Callable, data_batch,
                     rescue_config: Optional[IPMConfig] = None):
@@ -243,11 +246,24 @@ def rescue_failures(result: SolverResult, x0_batch, config: IPMConfig,
                             data_batch)
     sub_x0 = jnp.asarray(np.asarray(x0_batch)[pad_idx])
 
-    def rescue_one(x0_i, data_i):
-        return make_solver(family(data_i), rcfg.replace(verbosity=0),
-                           jit=False)(x0_i)
+    # jitted-rescue-solver cache: re-tracing the vmapped solver costs
+    # seconds; with the pow-2 shape bucketing above, repeat rescues with
+    # the same family/config hit this cache and run warm (the XLA binary
+    # additionally persists via the compilation cache across processes)
+    shape_key = tuple(
+        (tuple(np.shape(a)), str(np.asarray(a).dtype))
+        for a in jax.tree.leaves((sub_x0, sub_data)))
+    cache_key = (family, rcfg, shape_key)
+    solver = _rescue_solver_cache.get(cache_key)
+    if solver is None:
+        def rescue_one(x0_i, data_i):
+            return make_solver(family(data_i), rcfg.replace(verbosity=0),
+                               jit=False)(x0_i)
 
-    rres = jax.jit(jax.vmap(rescue_one))(sub_x0, sub_data)
+        solver = jax.jit(jax.vmap(rescue_one))
+        _rescue_solver_cache[cache_key] = solver
+
+    rres = solver(sub_x0, sub_data)
     rres = jax.tree.map(lambda a: a[:nf], rres)
     rsig = np.asarray(rres.signal)
     ok = np.isin(rsig, (1, 2))

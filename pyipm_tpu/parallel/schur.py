@@ -83,13 +83,15 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from pyipm_tpu.config import IPMConfig
-from pyipm_tpu.core.lbfgs import lbfgs_init
+from pyipm_tpu.core.lbfgs import (
+    LBFGSState, _masked_mem, _padded_middle, lbfgs_init, lbfgs_update,
+)
 from pyipm_tpu.core.linesearch import max_step_ftb, merit_line_search
 from pyipm_tpu.core.solver import (
     MetricsHistory, SolverState, make_loop_engine,
 )
 from pyipm_tpu.core.updates import nu_threshold
-from pyipm_tpu.ops.linalg import batched_reg_factor
+from pyipm_tpu.ops.linalg import _eq_reg_term, batched_reg_factor
 
 
 # ----------------------------------------------------------------------
@@ -216,6 +218,13 @@ def make_block_solver(spec: BlockNLP, mesh,
     mci = spec.mci
     has_barrier = ni > 0 or mci > 0
     use_mehrotra = cfg.mu_strategy == "mehrotra" and has_barrier
+    # per-block compact L-BFGS mode (cfg.lbfgs > 0): the reference's
+    # answer to "Hessian too big" (README.md:196-207), distributed — the
+    # d^3 per-block factorization is replaced by a Woodbury solve whose
+    # cost is O(d * (2m + ni)) per application, so d >> 4096 blocks
+    # become viable (the dense boundary is measured in
+    # benchmarks/results/r04/schur_dsweep.json)
+    use_lbfgs = cfg.lbfgs > 0
     iid = bool(spec.ci_identity) and ni == d  # Ji == I: elementwise paths
     n = d + me
     eps = float(np.finfo(dtype).eps)
@@ -648,7 +657,128 @@ def make_block_solver(spec: BlockNLP, mesh,
         return le0, li0, zc[:mc], zc[mc:]
 
     # ------------------------------------------------------------------
-    def direction(x, s, sc, le, li, lc, lci, th, ccdata, mu, delta):
+    # per-block L-BFGS machinery (use_lbfgs mode)
+    def _rx_at(x_, th, ccdata, le, li, lc, lci):
+        """Per-block Lagrangian x-gradient at an arbitrary iterate under
+        the CURRENT multipliers (the single-device update re-evaluates
+        both secant ends the same way, core/solver.py direction_lbfgs)."""
+        rx = gradf_v(x_, th)
+        if me:
+            rx = rx - jnp.einsum("kmd,km->kd", Je_v(x_, th), le)
+        if ni:
+            rx = rx - ((li * _im(th) if imk else li) if iid
+                       else jnp.einsum("knd,kn->kd", Ji_v(x_, th), li))
+        if has_cc:
+            _, _, _, _, _, w_o = coupling_state(x_, th, ccdata, lc, lci)
+            rx = rx - jnp.einsum("kpd,p->kd", G_v(x_, th), w_o)
+        return rx
+
+    def _lbfgs_mem_update(mem, x, x_old, rx_cur, le, li, lc, lci, th,
+                          ccdata, not_first):
+        """Vmapped curvature update dx = x - x_old, dg = rx(x) - rx(x_old)
+        (both ends at current multipliers), gated off on the very first
+        inner body (reference pyipm.py:1705)."""
+        rx_old = _rx_at(x_old, th, ccdata, le, li, lc, lci)
+        dx = x - x_old
+        dg = rx_cur - rx_old
+        constrained = (me + ni + mc + mci) > 0
+
+        def upd(m_):
+            return jax.vmap(
+                lambda mm, dxx, dgg: lbfgs_update(
+                    mm, dxx, dgg, constrained=constrained, eps=eps,
+                    zeta0=cfg.zeta0,
+                    fail_max=cfg.lbfgs_fail_max))(m_, dx, dg)
+
+        return lax.cond(not_first, upd, lambda m_: m_, mem)
+
+    def _lbfgs_prep(mem, sig, Ji, JiT, Je, JeT, th, mu):
+        """Operator-form condensed solve from the per-block compact
+        memory: B_k = zeta I - W M^{-1} W^T (BNS direct form, the same
+        middle matrix as core/lbfgs.py), A_k = B_k + Ji^T Sigma Ji solved
+        by Sherman-Morrison-Woodbury over a DIAGONAL base, equality rows
+        by a per-block (me x me) Schur complement.  Returns
+        (solve_blk, hess_mv, eq_app)."""
+        Kl = mem.S.shape[0]
+        zeta = mem.zeta                                  # (Kl,)
+        Sm, Ym, SS, Lm, Dv, valid = jax.vmap(
+            lambda st_: _masked_mem(st_, True))(mem)
+        Mmid = jax.vmap(_padded_middle)(SS, Lm, Dv, valid, zeta)
+        Wlb = jnp.concatenate([zeta[:, None, None] * Sm, Ym], axis=2)
+        m2 = Wlb.shape[2]
+        Mlu = jax.vmap(jax.scipy.linalg.lu_factor)(Mmid)
+
+        def _lusolve(f_, b_):
+            return jax.vmap(jax.scipy.linalg.lu_solve)(f_, b_)
+
+        def hess_mv(dx_):                                # B @ dx
+            t = jnp.einsum("kdm,kd->km", Wlb, dx_)
+            return zeta[:, None] * dx_ - jnp.einsum(
+                "kdm,km->kd", Wlb, _lusolve(Mlu, t[..., None])[..., 0])
+
+        # A = diag(D0) + V Lam V^T with Lam = blockdiag(-M^{-1}, I)
+        if ni and iid:
+            D0 = zeta[:, None] + sig                     # Sigma folded
+            V = Wlb
+            Lam_inv = -Mmid
+        elif ni:
+            D0 = jnp.broadcast_to(zeta[:, None], (Kl, d))
+            U2 = JiT * jnp.sqrt(sig)[:, None, :]         # (Kl, d, ni)
+            V = jnp.concatenate([Wlb, U2], axis=2)
+            q2 = m2 + ni
+            Lam_inv = jnp.zeros((Kl, q2, q2), dtype)
+            Lam_inv = Lam_inv.at[:, :m2, :m2].set(-Mmid)
+            Lam_inv = Lam_inv.at[:, m2:, m2:].set(
+                jnp.eye(ni, dtype=dtype)[None])
+        else:
+            D0 = jnp.broadcast_to(zeta[:, None], (Kl, d))
+            V = Wlb
+            Lam_inv = -Mmid
+        core = Lam_inv + jnp.einsum("kdp,kd,kdq->kpq", V, 1.0 / D0, V)
+        Clu = jax.vmap(jax.scipy.linalg.lu_factor)(core)
+
+        def a_inv(R):                                    # (Kl, d, r)
+            t = R / D0[..., None]
+            u = jnp.einsum("kdp,kdr->kpr", V, t)
+            v = _lusolve(Clu, u)
+            return t - jnp.einsum("kdp,kpr->kdr", V, v) / D0[..., None]
+
+        if me:
+            T = a_inv(JeT)                               # (Kl, d, me)
+            Se = jnp.einsum("kmd,kdn->kmn", Je, T)
+            ev = jnp.abs(jax.vmap(jnp.linalg.eigvalsh)(Se))
+            rcond = (jnp.min(ev, axis=-1)
+                     / jnp.maximum(jnp.max(ev, axis=-1), tiny))
+            finite = jnp.all(jnp.isfinite(ev), axis=-1)
+            reg = _eq_reg_term(mu, cfg.reg_coef, cfg.eta, cfg.beta,
+                               dtype)
+            eq_app = jnp.where((rcond <= eps) | (~finite), reg,
+                               jnp.zeros((Kl,), dtype))
+            Se = Se + eq_app[:, None, None] * jnp.eye(me, dtype=dtype)
+            if emk:
+                # identity-pin inactive (masked) equality rows
+                Se = Se + jax.vmap(jnp.diag)(1.0 - _em(th))
+            ch = jax.vmap(lambda A_: jax.scipy.linalg.cho_factor(
+                A_, lower=True)[0])(Se)
+
+            def solve_blk(rhs):                          # (Kl, n, r)
+                r1, r2 = rhs[:, :d, :], rhs[:, d:, :]
+                t = a_inv(r1)
+                rhs_y = jnp.einsum("kmd,kdr->kmr", Je, t) - r2
+                y = jax.vmap(lambda c_, b_: jax.scipy.linalg.cho_solve(
+                    (c_, True), b_))(ch, rhs_y)
+                xsol = t - jnp.einsum("kdm,kmr->kdr", T, y)
+                return jnp.concatenate([xsol, y], axis=1)
+        else:
+            eq_app = jnp.zeros((Kl,), dtype)
+
+            def solve_blk(rhs):
+                return a_inv(rhs)
+
+        return solve_blk, hess_mv, eq_app
+
+    def direction(x, s, sc, le, li, lc, lci, th, ccdata, mu, delta,
+                  lbfgs_st=None, x_old=None, not_first=None):
         """Distributed condensed-KKT Newton step via the coupling border.
 
         Returns (dx, ds, dsc, dae, db, dbc, dac, resolve, delta_new,
@@ -668,23 +798,19 @@ def make_block_solver(spec: BlockNLP, mesh,
         g2c, g4c = -rsc, -rcci
         sigc = (lci / (sc + guard) if mci else jnp.zeros((0,), dtype))
 
-        W = W_v(x, th, le, li, w)                        # (Kl, d, d)
         if ni:
             sig = li / (s + guard)                       # (Kl, ni)
             if iid and imk:
                 sig = sig * _im(th)      # inactive rows contribute 0
             if iid:
                 Ji = JiT = None                          # never built
-                A = W.at[:, jnp.arange(d), jnp.arange(d)].add(sig)
             else:
                 Ji = Ji_v(x, th)                         # (Kl, ni, d)
                 JiT = jnp.swapaxes(Ji, 1, 2)
-                A = W + jnp.einsum("kdn,kn,kne->kde", JiT, sig, Ji)
         else:
             Ji = jnp.zeros((Kl, 0, d), dtype)
             JiT = jnp.zeros((Kl, d, 0), dtype)
             sig = jnp.zeros((Kl, 0), dtype)
-            A = W
 
         def ji_mv(v):      # Ji @ v per block: (Kl, d) -> (Kl, ni)
             if iid:
@@ -698,29 +824,57 @@ def make_block_solver(spec: BlockNLP, mesh,
         if me:
             Je = Je_v(x, th)                             # (Kl, me, d)
             JeT = jnp.swapaxes(Je, 1, 2)
-            M = jnp.zeros((Kl, n, n), dtype)
-            M = M.at[:, :d, :d].set(A)
-            M = M.at[:, :d, d:].set(JeT)
-            M = M.at[:, d:, :d].set(Je)
-            if emk:
-                # identity-pin inactive equality rows: diagonal -1 keeps
-                # the per-block inertia target at ``me`` negative pivots
-                # uniformly, and with the (masked) zero rhs pins dae = 0
-                em_pin = _em(th) - 1.0           # 0 active, -1 inactive
-                M = M.at[:, jnp.arange(d, n),
-                         jnp.arange(d, n)].add(em_pin)
         else:
             Je = jnp.zeros((Kl, 0, d), dtype)
-            M = A
-        M = (M + jnp.swapaxes(M, 1, 2)) * jnp.asarray(0.5, dtype)
+            JeT = jnp.zeros((Kl, d, 0), dtype)
 
-        # per-block inertia-corrected factorization — the batched form of
-        # the condensed path's reg_solve_kkt (ops/linalg.py)
-        solve_blk, delta_new, retries, (delta_app, eq_app) = \
-            batched_reg_factor(
-                M, delta, mu, neq=me, eps=eps, reg_coef=cfg.reg_coef,
-                eta=cfg.eta, beta=cfg.beta, delta0=cfg.delta0,
-                max_retries=cfg.max_reg_retries, block=cfg.ldlt_block)
+        if use_lbfgs:
+            # --- per-block compact L-BFGS condensed solve (no d^3) ----
+            mem_new = _lbfgs_mem_update(lbfgs_st, x, x_old, rx, le, li,
+                                        lc, lci, th, ccdata, not_first)
+            solve_blk, hess_mv, eq_app = _lbfgs_prep(
+                mem_new, sig, Ji, JiT, Je, JeT, th, mu)
+            delta_new = delta
+            retries = jnp.zeros((), jnp.int32)
+            delta_app = jnp.zeros((Kl,), dtype)
+        else:
+            W = W_v(x, th, le, li, w)                    # (Kl, d, d)
+            if ni:
+                if iid:
+                    A = W.at[:, jnp.arange(d), jnp.arange(d)].add(sig)
+                else:
+                    A = W + jnp.einsum("kdn,kn,kne->kde", JiT, sig, Ji)
+            else:
+                A = W
+            if me:
+                M = jnp.zeros((Kl, n, n), dtype)
+                M = M.at[:, :d, :d].set(A)
+                M = M.at[:, :d, d:].set(JeT)
+                M = M.at[:, d:, :d].set(Je)
+                if emk:
+                    # identity-pin inactive equality rows: diagonal -1
+                    # keeps the per-block inertia target at ``me``
+                    # negative pivots uniformly, and with the (masked)
+                    # zero rhs pins dae = 0
+                    em_pin = _em(th) - 1.0       # 0 active, -1 inactive
+                    M = M.at[:, jnp.arange(d, n),
+                             jnp.arange(d, n)].add(em_pin)
+            else:
+                M = A
+            M = (M + jnp.swapaxes(M, 1, 2)) * jnp.asarray(0.5, dtype)
+
+            # per-block inertia-corrected factorization — the batched
+            # form of the condensed path's reg_solve_kkt (ops/linalg.py)
+            solve_blk, delta_new, retries, (delta_app, eq_app) = \
+                batched_reg_factor(
+                    M, delta, mu, neq=me, eps=eps, reg_coef=cfg.reg_coef,
+                    eta=cfg.eta, beta=cfg.beta, delta0=cfg.delta0,
+                    max_retries=cfg.max_reg_retries, block=cfg.ldlt_block)
+
+            def hess_mv(dx_):
+                return (jnp.einsum("kde,ke->kd", W, dx_)
+                        + delta_app[:, None] * dx_)
+            mem_new = lbfgs_st
 
         if has_cc:
             G = G_v(x, th)                               # (Kl, p, d)
@@ -801,8 +955,7 @@ def make_block_solver(spec: BlockNLP, mesh,
             toward the unregularized coupling row).  ``g2_``/``g2c_`` are
             the complementarity rhs of the system being refined (they
             differ between the Mehrotra predictor and corrector)."""
-            r1 = g1 - (jnp.einsum("kde,ke->kd", W, dx)
-                       + delta_app[:, None] * dx)
+            r1 = g1 - hess_mv(dx)
             if me:
                 r1 = r1 - jnp.einsum("kmd,km->kd", Je, dae)
                 row = (jnp.einsum("kmd,kd->km", Je, dx)
@@ -971,7 +1124,7 @@ def make_block_solver(spec: BlockNLP, mesh,
             return dx_p, ds_p, dsc_p
 
         return (dx, ds, dsc, dae, db, dbc, dac, resolve, delta_new,
-                retries, mu_new)
+                retries, mu_new, mem_new)
 
     # ------------------------------------------------------------------
     # one primal-dual iteration on the SolverState carry (the distributed
@@ -980,11 +1133,20 @@ def make_block_solver(spec: BlockNLP, mesh,
         def inner_iter(st: SolverState) -> SolverState:
             le, li, lc, lci = st.lda
             s_blk, sc = st.s
+            not_first = (st.outer > 0) | (st.inner > 0)
             with jax.named_scope("ipm-direction"):
                 (dx, ds, dsc, dae, db, dbc, dac, resolve, delta_new,
-                 retries, mu_new) = direction(
+                 retries, mu_new, mem_new) = direction(
                      st.x, s_blk, sc, le, li, lc, lci, th, ccdata,
-                     st.mu, st.delta)
+                     st.mu, st.delta, lbfgs_st=st.lbfgs,
+                     x_old=st.x_old, not_first=not_first)
+            if use_lbfgs:
+                # memory was updated inside the direction; x_old follows
+                # the single-device convention (advances only when the
+                # update ran, core/solver.py direction_lbfgs)
+                st = st._replace(
+                    lbfgs=mem_new,
+                    x_old=jnp.where(not_first, st.x, st.x_old))
             # multiplier sign flip (reference pyipm.py:1723-1725)
             dle, dli, dlc, dlci = -dae, -db, -dac, -dbc
 
@@ -1278,6 +1440,21 @@ def make_block_solver(spec: BlockNLP, mesh,
         f_past = (fval_g(x, th) if cfg.Ftol is not None
                   else jnp.zeros((), dtype))
         i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
+        if use_lbfgs:
+            # per-block compact memory: every field carries a leading
+            # block axis (sharded with the blocks); x_old seeds the first
+            # secant pair
+            mems = cfg.lbfgs_mem
+            lbfgs0 = LBFGSState(
+                zeta=jnp.full((Kl,), cfg.zeta0, dtype),
+                S=jnp.zeros((Kl, d, mems), dtype),
+                Y=jnp.zeros((Kl, d, mems), dtype),
+                count=jnp.zeros((Kl,), jnp.int32),
+                fail=jnp.zeros((Kl,), jnp.int32))
+            x_old0 = x
+        else:
+            lbfgs0 = lbfgs_init(0, 0, cfg.zeta0, dtype)
+            x_old0 = jnp.zeros((0,), dtype)
         return SolverState(
             x=x, s=(s, sc), lda=(le, li, lc, lci),
             mu=mu0, nu=jnp.asarray(cfg.nu, dtype),
@@ -1287,8 +1464,8 @@ def make_block_solver(spec: BlockNLP, mesh,
             in_inner=jnp.zeros((), jnp.bool_),
             f_past=f_past, alpha=jnp.zeros((), dtype),
             reg_retries=i32(0),
-            lbfgs=lbfgs_init(0, 0, cfg.zeta0, dtype),
-            x_old=jnp.zeros((0,), dtype), g=jnp.zeros((0,), dtype),
+            lbfgs=lbfgs0,
+            x_old=x_old0, g=jnp.zeros((0,), dtype),
             hist=(lambda T: MetricsHistory(
                 kkt=jnp.zeros((T, 4), dtype), mu=jnp.zeros((T,), dtype),
                 nu=jnp.zeros((T,), dtype), alpha=jnp.zeros((T,), dtype),
@@ -1323,9 +1500,11 @@ def make_block_solver(spec: BlockNLP, mesh,
         kkt=rep, signal=rep, iter_count=rep, outer=rep, inner=rep,
         inner_done=rep, in_inner=rep, f_past=rep, alpha=rep,
         reg_retries=rep,
-        lbfgs=jax.tree.map(lambda _: rep,
+        # in L-BFGS mode the per-block memory and x_old are block-sharded
+        # slabs; otherwise they are empty replicated dummies
+        lbfgs=jax.tree.map(lambda _: (blk if use_lbfgs else rep),
                            lbfgs_init(0, 0, 1.0, np.float32)),
-        x_old=rep, g=rep,
+        x_old=(blk if use_lbfgs else rep), g=rep,
         hist=MetricsHistory(kkt=rep, mu=rep, nu=rep, alpha=rep,
                             delta=rep))
 
