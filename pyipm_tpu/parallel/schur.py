@@ -491,20 +491,22 @@ def make_block_solver(spec: BlockNLP, mesh,
         q = mc + mci
         nloc = me + ni
         b = gradf_v(x, th)                           # (Kl, d)
+        # With identity inequality Jacobians (iid: bounds ci = x - lb)
+        # the identity block is handled STRUCTURALLY — materializing it
+        # as (Kl, d, d) would allocate d^2 per block, which is exactly
+        # what the large-d L-BFGS mode exists to avoid.  ``Bs`` then
+        # holds only the non-identity columns.
+        big_iid = bool(ni and iid)
         cols = []
         if me:
             cols.append(jnp.swapaxes(Je_v(x, th), 1, 2))
-        if ni:
-            if iid:
-                JiT_ls = jnp.broadcast_to(
-                    jnp.eye(d, dtype=dtype)[None], (Kl, d, d))
-                if imk:
-                    JiT_ls = JiT_ls * _im(th)[:, None, :]
-                cols.append(JiT_ls)
-            else:
-                cols.append(jnp.swapaxes(Ji_v(x, th), 1, 2))
-        B = (jnp.concatenate(cols, axis=2) if cols
-             else jnp.zeros((Kl, d, 0), dtype))      # (Kl, d, me+ni)
+        if ni and not iid:
+            cols.append(jnp.swapaxes(Ji_v(x, th), 1, 2))
+        Bs = (jnp.concatenate(cols, axis=2) if cols
+              else jnp.zeros((Kl, d, 0), dtype))     # (Kl, d, me[+ni])
+        imask = ((_im(th) if imk else jnp.ones((Kl, d), dtype))
+                 if big_iid else None)
+        B = Bs                                       # legacy name below
         if has_cc:
             u, _, Jcc_, _, Jcci_, _ = coupling_state(
                 x, th, ccdata, jnp.zeros((mc,), dtype),
@@ -530,7 +532,9 @@ def make_block_solver(spec: BlockNLP, mesh,
                 + (jnp.sum(_im(th)) if (ni and imk)
                    else jnp.asarray(nglob * Kl * ni, dtype)))
         reg = jnp.sqrt(jnp.asarray(eps, dtype))
-        tr = _psum(jnp.sum(B ** 2) + jnp.sum(C ** 2))
+        tr = _psum(jnp.sum(B ** 2) + jnp.sum(C ** 2)
+                   + (jnp.sum(imask) if big_iid
+                      else jnp.zeros((), dtype)))
         eye_q = jnp.eye(q, dtype=dtype)
 
         def refine(y, apply_G, solve_fn, rhs):
@@ -573,20 +577,61 @@ def make_block_solver(spec: BlockNLP, mesh,
 
         if mtot <= ntot:
             # underdetermined: lda = J^T (J J^T + reg*s*I)^{-1} b with
-            # J J^T = blockdiag(B_k B_k^T) + C C^T (Woodbury border)
+            # J J^T = blockdiag(B_k B_k^T [+ diag(imask)]) + C C^T
+            # (Woodbury border); big_iid always lands here (the masked
+            # identity alone gives ntot >= mtot)
             scale = jnp.maximum(tr / mtot, jnp.ones((), dtype))
-            Dk = (jnp.einsum("kdm,kem->kde", B, B)
-                  + (reg * scale) * jnp.eye(d, dtype=dtype)[None])
-            ch = jax.vmap(lambda A_: jax.scipy.linalg.cho_factor(
-                A_, lower=True)[0])(Dk)
-            dinv = jax.vmap(lambda c_, r_: jax.scipy.linalg.cho_solve(
-                (c_, True), r_))
+            nb_cols = B.shape[2]
+            if big_iid:
+                # diagonal base + rank-(me) correction — never builds a
+                # (d, d) matrix (large-d L-BFGS blocks)
+                base = imask + reg * scale           # (Kl, d)
+                t1 = B / base[..., None]             # (Kl, d, me)
+                if nb_cols:
+                    core_e = (jnp.eye(nb_cols, dtype=dtype)[None]
+                              + jnp.einsum("kdm,kdn->kmn", B, t1))
+                    che = jax.vmap(
+                        lambda A_: jax.scipy.linalg.cho_factor(
+                            A_, lower=True)[0])(core_e)
+
+                def dinv_fn(R):                      # (Kl, d, r)
+                    t = R / base[..., None]
+                    if nb_cols:
+                        u = jnp.einsum("kdm,kdr->kmr", B, t)
+                        v = jax.vmap(
+                            lambda c_, b_: jax.scipy.linalg.cho_solve(
+                                (c_, True), b_))(che, u)
+                        t = t - jnp.einsum("kdm,kmr->kdr", t1, v)
+                    return t
+
+                def bbT_mv(yb):                      # unregularized
+                    out = imask * yb
+                    if nb_cols:
+                        out = out + jnp.einsum(
+                            "kdm,km->kd", B,
+                            jnp.einsum("kdm,kd->km", B, yb))
+                    return out
+            else:
+                Dk = (jnp.einsum("kdm,kem->kde", B, B)
+                      + (reg * scale) * jnp.eye(d, dtype=dtype)[None])
+                ch = jax.vmap(lambda A_: jax.scipy.linalg.cho_factor(
+                    A_, lower=True)[0])(Dk)
+
+                def dinv_fn(R):
+                    return jax.vmap(
+                        lambda c_, r_: jax.scipy.linalg.cho_solve(
+                            (c_, True), r_))(ch, R)
+
+                def bbT_mv(yb):
+                    return jnp.einsum(
+                        "kdm,km->kd", B,
+                        jnp.einsum("kdm,kd->km", B, yb))
 
             def solve_reg(rhs):
                 rb, _ = rhs                          # ((Kl,d), (0,))
-                y0 = dinv(ch, rb)
+                y0 = dinv_fn(rb[..., None])[..., 0]
                 if q:
-                    T = dinv(ch, C.reshape(Kl, d, q))
+                    T = dinv_fn(C.reshape(Kl, d, q))
                     S = eye_q + _psum(jnp.einsum("kdq,kdr->qr", C, T))
                     zq = jnp.linalg.solve(
                         S, _psum(jnp.einsum("kdq,kd->q", C, y0)))
@@ -595,8 +640,7 @@ def make_block_solver(spec: BlockNLP, mesh,
 
             def apply_unreg(y):
                 yb, _ = y
-                out = jnp.einsum("kdm,kem->kde", B, B) @ yb[..., None]
-                out = out[..., 0]
+                out = bbT_mv(yb)
                 if q:
                     cz = _psum(jnp.einsum("kdq,kd->q", C, yb))
                     out = out + jnp.einsum("kdq,q->kd", C, cz)
@@ -605,9 +649,13 @@ def make_block_solver(spec: BlockNLP, mesh,
             rhs = (b, jnp.zeros((0,), dtype))
             y = refine(solve_reg(rhs), apply_unreg, solve_reg, rhs)
             yb = y[0]
-            lda_blk = jnp.einsum("kdm,kd->km", B, yb)    # (Kl, me+ni)
             zc = (_psum(jnp.einsum("kdq,kd->q", C, yb)) if q
                   else jnp.zeros((0,), dtype))
+            if big_iid:
+                le0 = jnp.einsum("kdm,kd->km", B, yb)    # Je columns
+                li0 = imask * yb
+                return le0, li0, zc[:mc], zc[mc:]
+            lda_blk = jnp.einsum("kdm,kd->km", B, yb)    # (Kl, me+ni)
         else:
             # overdetermined: normal equations (J^T J + reg*s*I) lda =
             # J^T b, Schur complement over the coupling columns
