@@ -113,6 +113,8 @@ def main():
     million = _load(f"results/{r}/schur_million_var.json")
     largeblock = _load(f"results/{r}/schur_largeblock_262k.json")
     census = _load(f"results/{r}/collective_census.json")
+    dsweep = _load(f"results/{r}/schur_dsweep.json")
+    lbfgs_big = _load(f"results/{r}/schur_lbfgs_largeblock.json")
 
     out = {
         "round": args.round,
@@ -120,6 +122,8 @@ def main():
         "schur_weak_scaling": schur,
         "million_var_solve": million,
         "largeblock_d1024_solve": largeblock,
+        "dense_d_boundary_sweep": dsweep,
+        "lbfgs_largeblock_d65536": lbfgs_big,
         "ici_roofline": ici_roofline(million, census),
         "collective_census": census,
         "caveat": ("real multi-chip hardware is unavailable in this "
