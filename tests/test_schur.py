@@ -821,3 +821,37 @@ def test_block_lbfgs_box_identity_fast_path():
     res_e = make_separable_solver(spec, _mesh(8), cfg_e)(x0, data)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_e.x),
                                atol=1e-3)
+
+
+def test_block_lbfgs_combos():
+    """L-BFGS mode composes with ragged per-block masks (masked secant
+    pairs, pinned eq rows in the per-block Schur complement).
+    mu_strategy='mehrotra' with lbfgs is rejected at CONFIG level (the
+    single-device contract: predictor-corrector requires exact-Hessian
+    factor reuse) — assert that stays true."""
+    import pytest as _pt
+
+    from pyipm_tpu.config import IPMConfig as Cfg
+    from pyipm_tpu.parallel.schur import (
+        make_block_solver, sample_block_ragged,
+    )
+
+    with _pt.raises(AssertionError, match="exact-Hessian"):
+        Cfg(lbfgs=6, mu_strategy="mehrotra")
+
+    # ragged + lbfgs
+    rspec, rtheta, rccdata, rx0, me_k, ni_k = sample_block_ragged(
+        jax.random.key(21), 8, d=4, me=2, ni=3, p=2, mc=1)
+    cfg_r = Cfg(float_dtype="float64", verbosity=0, lbfgs=6, niter=20,
+                miter=40)
+    res_r = make_block_solver(rspec, _mesh(8), cfg_r)(
+        rx0, rtheta, ccdata=rccdata)
+    assert int(res_r.signal) in (1, 2), np.asarray(res_r.kkt)
+    ce_m = np.asarray(rtheta["ce_mask"])
+    ci_m = np.asarray(rtheta["ci_mask"])
+    np.testing.assert_array_equal(np.asarray(res_r.le)[ce_m == 0], 0.0)
+    np.testing.assert_array_equal(np.asarray(res_r.li)[ci_m == 0], 0.0)
+    res_re = make_block_solver(rspec, _mesh(8), cfg_r.replace(lbfgs=0))(
+        rx0, rtheta, ccdata=rccdata)
+    np.testing.assert_allclose(np.asarray(res_r.x),
+                               np.asarray(res_re.x), atol=1e-3)
