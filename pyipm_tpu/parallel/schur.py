@@ -64,11 +64,12 @@ whole solve is a single compiled SPMD program with XLA collectives riding
 the ICI.
 
 Deviations from the single-device defaults (documented):
-  - default multipliers are le=0, li=Ktol, lc=0 (the reference's global
-    least-squares init_lambda does not block-decompose; pass lda0 for
-    warm starts / parity runs);
   - per-iteration debug printing is off (it would interleave across
     devices); the final signal/kkt/iter_count report everything.
+  (The r3 multiplier-default deviation is GONE: default multipliers now
+  come from the reference's least-squares initializer computed through
+  the coupling border — ``ls_multiplier_init`` — matching the
+  single-device default without hand-fed warm starts.)
 """
 
 from __future__ import annotations
