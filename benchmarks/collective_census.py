@@ -34,8 +34,7 @@ import numpy as np  # noqa: E402
 from pyipm_tpu.config import IPMConfig  # noqa: E402
 from pyipm_tpu.parallel.mesh import make_solver_mesh  # noqa: E402
 from pyipm_tpu.parallel.schur import (  # noqa: E402
-    make_block_solver, sample_block_general, sample_separable,
-    make_separable_solver,  # noqa: F401  (import check)
+    make_block_solver, sample_block_general,
 )
 
 PATTERNS = {
@@ -93,13 +92,9 @@ def main():
         rows.append(census_one(f"general_coupled_{strat}", spec, theta,
                                ccdata, x0, cfg, mesh))
 
-    # the committed weak-scaling config shape (box + linear coupling)
-    sep_spec, data, x0s = sample_separable(jax.random.key(1), K, 16, 8)
-    sep = make_separable_solver  # noqa: F841
-    from pyipm_tpu.parallel.schur import BlockNLP  # noqa: F401
-
+    # a weak-scaling-like shape (d=16 blocks, linear coupling)
     gspec2, th2, cc2, x02 = sample_block_general(
-        jax.random.key(4), K, 16, me=0 or 1, ni=2, p=2, mc=1, mci=0,
+        jax.random.key(4), K, 16, me=1, ni=2, p=2, mc=1, mci=0,
         dtype=jnp.float32, nonlinear_cc=False)
     cfg2 = IPMConfig(float_dtype="float32", verbosity=0)
     rows.append(census_one("weakscale_like_d16_linear_cc", gspec2, th2,
