@@ -883,9 +883,10 @@ def make_block_solver(spec: BlockNLP, mesh,
                                         lc, lci, th, ccdata, not_first)
             solve_blk, hess_mv, eq_app = _lbfgs_prep(
                 mem_new, sig, Ji, JiT, Je, JeT, th, mu)
+            # B is PD by the curvature guard (+ PSD slack term), so no
+            # inertia-correction retries and no delta shift exist here
             delta_new = delta
             retries = jnp.zeros((), jnp.int32)
-            delta_app = jnp.zeros((Kl,), dtype)
         else:
             W = W_v(x, th, le, li, w)                    # (Kl, d, d)
             if ni:
