@@ -106,6 +106,10 @@ def main():
     rows.append(census_one(
         "weakscale_d16_refine0", gspec2, th2, cc2, x02,
         cfg2.replace(schur_refine_steps=0), mesh))
+    rows.append(census_one(
+        "general_coupled_lbfgs", spec, theta, ccdata, x0,
+        IPMConfig(float_dtype="float32", verbosity=0, lbfgs=6,
+                  niter=20, miter=40), mesh))
 
     outdir = os.path.join(HERE, "results", "r04")
     os.makedirs(outdir, exist_ok=True)
