@@ -178,7 +178,12 @@ def main():
     # NOT stage R solves inside one fori_loop program: a minutes-long
     # uninterrupted device computation starves the remote worker's
     # heartbeat and crashes it.)
-    reps = int(os.environ.get("BENCH_REPS", 3))
+    # median of 5 spaced reps: with 3, one slow outlier rep drags the
+    # median onto it (the r04 driver artifact read 88.3k from rep walls
+    # [1.149, 1.203, 1.076] — median landed on 1.149 while rep 3 was
+    # already 94.6k iters/s); 5 reps keep the median inside the
+    # session-noise band (memory: ±30-40% across windows)
+    reps = int(os.environ.get("BENCH_REPS", 5))
     rng = np.random.default_rng(7)
     rep_x0s = jax.block_until_ready([
         jnp.asarray(1e-6 * rng.standard_normal((B, D)), jnp.float32)
@@ -254,11 +259,18 @@ def main():
     insts = jax.block_until_ready([inst(i) for i in range(nb)])
     t0 = time.perf_counter()
     rs = [single(x0_single, di) for di in insts]   # async dispatch;
-    # the device stream is FIFO, so fetching the LAST dispatched result
-    # forces all prior solves complete — ONE round-trip as the barrier
-    # (fetching every result would serialize nb round-trips through the
-    # remote tunnel and unfairly slow the baseline it is timing)
-    int(rs[-1].iter_count)
+    # barrier = scalar fetches from a small SAMPLE spread across the
+    # dispatch order plus the last result: on a strictly-FIFO stream the
+    # last fetch alone suffices, but if the backend overlaps executions
+    # on multiple streams a single fetch could return before earlier
+    # solves finish and shrink the measured baseline wall (inflating
+    # vs_baseline).  Four spread fetches cost ~3 extra round-trips on a
+    # ~1 s wall — noise — while covering every quartile of the stream.
+    # (Fetching EVERY result would serialize nb round-trips through the
+    # remote tunnel and unfairly slow the baseline it is timing.)
+    for k in sorted({nb // 4 - 1, nb // 2 - 1, 3 * nb // 4 - 1, nb - 1}):
+        if 0 <= k < nb:
+            int(rs[k].iter_count)
     base_elapsed = time.perf_counter() - t0        # generous to baseline
     assert base_elapsed > WALL_FLOOR_S, base_elapsed
     base_iters = sum(int(ri.iter_count) for ri in rs)

@@ -14,6 +14,9 @@ Differences (all deliberate, documented):
   - mu/nu are reinitialized from the constructor values on every solve; the
     reference leaves the device copies in their final state across solves
     and warns users to reset them by hand (pyipm.py:273-275, 1603-1607).
+    Users migrating reference warm-start loops can opt back into the
+    stateful behavior explicitly: ``solve(..., mu0=prob.mu, nu0=prob.nu)``
+    feeds the previous solve's final values forward.
 """
 
 from __future__ import annotations
@@ -224,6 +227,7 @@ class IPM:
         self.fval = None
         self.signal = None
         self.mu = None           # final barrier value of the last solve
+        self.nu = None           # final merit penalty of the last solve
 
     # ------------------------------------------------------------------
     def validate(self):
@@ -273,11 +277,41 @@ class IPM:
                 with_s0=with_s0, with_lda0=with_lda0)
         return self._solvers[key]
 
-    def solve(self, x0=None, s0=None, lda0=None, force_recompile=False):
+    def _warm_solver(self, with_s0, with_lda0):
+        """Jitted phased solve taking runtime mu0/nu0 as trailing args
+        (see :meth:`solve`); cached like the plain solvers."""
+        key = (with_s0, with_lda0, "warm")
+        if key not in self._solvers:
+            import jax
+            base = make_solver(self.problem, self.config,
+                               with_s0=with_s0, with_lda0=with_lda0)
+
+            def warm(*args):
+                *starts, mu0v, nu0v = args
+                x0 = starts[0]
+                s0 = starts[1] if with_s0 else None
+                lda0 = (starts[1 + int(with_s0)] if with_lda0 else None)
+                st = base.init_state(x0, s0, lda0, mu0=mu0v, nu0=nu0v)
+                return base.finalize(base.run(st))
+
+            self._solvers[key] = jax.jit(warm)
+        return self._solvers[key]
+
+    def solve(self, x0=None, s0=None, lda0=None, force_recompile=False,
+              mu0=None, nu0=None):
         """Run the solver (reference IPM.solve, pyipm.py:1567-1863).
 
         Returns (x, s, lda, fval, kkt) with kkt = [kkt1, kkt2, kkt3, kkt4]
         (absent blocks are scalar 0, reference pyipm.py:958-991).
+
+        ``mu0``/``nu0`` (optional floats) override the initial barrier /
+        merit-penalty values for THIS solve only — the explicit opt-in
+        for users migrating reference warm-start loops, where the device
+        copies of mu/nu persist in their final state across solve()
+        calls (reference pyipm.py:273-275; this class reinitializes them
+        per solve by default).  ``self.mu``/``self.nu`` hold the final
+        values of the last solve to feed back in.  Runtime values: no
+        recompilation across different mu0/nu0.
         """
         if x0 is not None:
             self.x0 = np.asarray(x0)
@@ -294,13 +328,19 @@ class IPM:
 
         with_s0 = self.s0 is not None and self.problem.nineq > 0
         with_lda0 = self.lda0 is not None and self.problem.ncon > 0
-        fn = self._solver(with_s0, with_lda0)
         args = [self.x0.astype(self.config.np_dtype)]
         if with_s0:
             args.append(self.s0.astype(self.config.np_dtype))
         if with_lda0:
             args.append(self.lda0.astype(self.config.np_dtype))
-        res = fn(*args)
+        if mu0 is None and nu0 is None:
+            res = self._solver(with_s0, with_lda0)(*args)
+        else:
+            fn = self._warm_solver(with_s0, with_lda0)
+            dt = self.config.np_dtype
+            res = fn(*args,
+                     dt.type(self.config.mu if mu0 is None else mu0),
+                     dt.type(self.config.nu if nu0 is None else nu0))
 
         self.x = np.asarray(res.x)
         self.s = np.asarray(res.s)
@@ -308,6 +348,7 @@ class IPM:
         self.fval = float(res.fval)
         self.signal = int(res.signal)
         self.mu = float(res.mu)
+        self.nu = float(res.nu)
         self.kkt = self.KKT(self.x, self.s, self.lda)
         self._report(res)
         return self.x, self.s, self.lda, self.fval, self.kkt

@@ -481,8 +481,15 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
     run, run_budget = engine.run, engine.run_budget
 
     # ------------------------------------------------------------------
-    def init_state(x0, s0=None, lda0=None) -> SolverState:
-        """Initialization (reference pyipm.py:1596-1651)."""
+    def init_state(x0, s0=None, lda0=None, mu0=None, nu0=None) -> SolverState:
+        """Initialization (reference pyipm.py:1596-1651).
+
+        ``mu0``/``nu0`` override the configured initial barrier/penalty
+        values at RUNTIME (no recompile across values) — the explicit
+        analog of the reference's stateful warm-start semantics, where
+        the device copies of mu/nu keep their final values across
+        solve() calls (reference pyipm.py:273-275, 363-364).  With N == 0
+        mu stays pinned at Ktol regardless (reference pyipm.py:1606)."""
         if cfg.verbosity > 0:
             # mode banner (reference pyipm.py:1642-1648)
             jax.debug.print(
@@ -493,7 +500,7 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
         if N:
             s = (K.init_slack(problem, x, cfg.Ktol) if s0 is None
                  else jnp.asarray(s0, dtype).reshape((N,)))
-            mu0 = jnp.asarray(cfg.mu, dtype)
+            mu0 = jnp.asarray(cfg.mu if mu0 is None else mu0, dtype)
         else:
             s = jnp.zeros((0,), dtype)
             mu0 = jnp.asarray(cfg.Ktol, dtype)    # pyipm.py:1606
@@ -502,7 +509,7 @@ def make_solver(problem: Problem, config: Optional[IPMConfig] = None, *,
                    else jnp.asarray(lda0, dtype).reshape((ncon,)))
         else:
             lda = jnp.zeros((0,), dtype)
-        nu0 = jnp.asarray(cfg.nu, dtype)
+        nu0 = jnp.asarray(cfg.nu if nu0 is None else nu0, dtype)
         kkt0 = K.kkt_norms(problem, x, s, lda, mu0)
         if cfg.Ftol is not None:
             f_past = problem.f_val(x)

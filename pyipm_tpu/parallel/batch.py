@@ -193,7 +193,15 @@ def solve_batch(problem: Problem, x0_batch, config: Optional[IPMConfig] = None,
     return fn(*args)
 
 
+# Bounded jitted-rescue-solver cache (insertion-ordered dict as LRU).
+# Keyed on (family, config, shapes): ``family`` must be a STABLE callable —
+# callers constructing a fresh lambda per call never hit the cache, pay the
+# multi-second trace every rescue, and (before the bound) leaked one jitted
+# vmapped solver + its executables per miss.  The bound evicts the
+# least-recently-used entry past 16 distinct (family, config, shape)
+# combinations — far above any realistic serving mix, tiny if exceeded.
 _rescue_solver_cache = {}
+_RESCUE_CACHE_MAX = 16
 
 
 def rescue_failures(result: SolverResult, x0_batch, config: IPMConfig,
@@ -215,7 +223,10 @@ def rescue_failures(result: SolverResult, x0_batch, config: IPMConfig,
       config: the config the batch ran under (basis for the default
         rescue config).
       family: ``data -> Problem`` (same contract as
-        :func:`make_wave_batch_solver`).
+        :func:`make_wave_batch_solver`).  Must be a STABLE callable
+        (module-level function or a lambda hoisted outside the call
+        site): the warm-rescue cache keys on its identity, so a fresh
+        lambda per call re-traces the solver every rescue (~seconds).
       data_batch: per-instance data pytree, leading axis = instance.
       rescue_config: override; default = ``config`` with
         mu_strategy='auto' and a 3x outer budget.
@@ -242,26 +253,33 @@ def rescue_failures(result: SolverResult, x0_batch, config: IPMConfig,
     P = min(sigs.size, max(32, _next_pow2(nf)))
     pad_idx = np.concatenate(
         [fail_idx, np.full(max(P - nf, 0), fail_idx[-1], fail_idx.dtype)])
-    sub_data = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[pad_idx]),
-                            data_batch)
-    sub_x0 = jnp.asarray(np.asarray(x0_batch)[pad_idx])
+    # gather ON DEVICE: np.asarray(full_batch)[pad_idx] would pull the
+    # whole 10k-instance data pytree through the (remote) host transfer
+    # just to select a few rows
+    pj = jnp.asarray(pad_idx, jnp.int32)
+    sub_data = jax.tree.map(
+        lambda a: jnp.take(jnp.asarray(a), pj, axis=0), data_batch)
+    sub_x0 = jnp.take(jnp.asarray(x0_batch), pj, axis=0)
 
     # jitted-rescue-solver cache: re-tracing the vmapped solver costs
     # seconds; with the pow-2 shape bucketing above, repeat rescues with
     # the same family/config hit this cache and run warm (the XLA binary
-    # additionally persists via the compilation cache across processes)
+    # additionally persists via the compilation cache across processes).
+    # Shape key from metadata only — no device->host materialization.
     shape_key = tuple(
-        (tuple(np.shape(a)), str(np.asarray(a).dtype))
+        (tuple(jnp.shape(a)), np.dtype(a.dtype).name)
         for a in jax.tree.leaves((sub_x0, sub_data)))
     cache_key = (family, rcfg, shape_key)
-    solver = _rescue_solver_cache.get(cache_key)
+    solver = _rescue_solver_cache.pop(cache_key, None)
     if solver is None:
         def rescue_one(x0_i, data_i):
             return make_solver(family(data_i), rcfg.replace(verbosity=0),
                                jit=False)(x0_i)
 
         solver = jax.jit(jax.vmap(rescue_one))
-        _rescue_solver_cache[cache_key] = solver
+        while len(_rescue_solver_cache) >= _RESCUE_CACHE_MAX:
+            _rescue_solver_cache.pop(next(iter(_rescue_solver_cache)))
+    _rescue_solver_cache[cache_key] = solver   # (re)insert most-recent
 
     rres = solver(sub_x0, sub_data)
     rres = jax.tree.map(lambda a: a[:nf], rres)

@@ -134,13 +134,16 @@ def solve_fleet(problems: Sequence[Problem], x0s: Sequence,
 
     Bucketing contract: instances batch together only when their LIFTED
     JAXPRS match textually (``str(jaxpr)`` fingerprint) — i.e. the same
-    f/ce/ci code traced at the same shapes/dtypes.  The fingerprint is
-    variable-name-sensitive: structurally identical problems built
-    through DIFFERENT code paths (e.g. two lambdas computing the same
-    expression) may land in separate buckets.  That splits work but
-    never changes results — every bucket solves correctly; worst case is
-    a lockstep batch of 1.  Build fleet instances through one shared
-    constructor when maximum batching matters.
+    f/ce/ci computation traced at the same shapes/dtypes.  The
+    fingerprint is ALPHA-CANONICAL: jaxpr printing assigns variable
+    names at print time in order of appearance, so structurally
+    identical problems built through different code paths (different
+    lambdas, different intermediate naming) produce identical
+    fingerprints and share a bucket (pinned by
+    tests/test_fleet.py::test_cross_code_path_bucketing).  Problems that
+    genuinely differ in operations, literals baked from Python scalars,
+    or shapes split buckets — which splits work but never changes
+    results; worst case is a lockstep batch of 1.
 
     Returns:
       ``list[SolverResult]`` in the original instance order, matching what

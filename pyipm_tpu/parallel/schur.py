@@ -1428,6 +1428,16 @@ def make_block_solver(spec: BlockNLP, mesh,
                 smin = jnp.min(sc_ * lci_)
             ntot = (_psum(jnp.sum(msk)) + mci if msk is not None
                     else Kl * nglob * ni + mci)
+            # Ragged edge case: a fleet declaring ni > 0 whose ci_mask is
+            # all-zero in EVERY block (and mci == 0) yields ntot == 0 and
+            # smin == inf, which would drive centrality_mu to NaN and kill
+            # the solve with signal -3 instead of just skipping the
+            # barrier update.  Neutralize: ntot >= 1 and smin -> 0 make
+            # the update return mu_floor (benign; there is no barrier to
+            # schedule when no inequality row is active).
+            ntot = jnp.maximum(ntot, 1) if msk is not None else ntot
+            smin = jnp.where(jnp.isfinite(smin), smin,
+                             jnp.zeros((), dtype))
             return sl, smin, ntot
 
         return make_loop_engine(
