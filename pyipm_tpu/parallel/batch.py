@@ -103,8 +103,10 @@ def make_wave_batch_solver(problem: Optional[Problem] = None,
     pad slots hold already-converged instances, for which the resumed
     while_loop is a no-op and the scatter writes back unchanged state.
 
-    The per-wave host sync is one small ``signal`` fetch; everything else
-    stays on device.
+    Compaction runs ON DEVICE: each wave is one jitted
+    argsort+gather+resume+scatter program (one compilation per pow-2
+    bucket size), and the only per-wave host sync is a scalar
+    active-count fetch that sizes the next bucket and decides loop exit.
     """
     assert (problem is None) != (family is None), \
         "give exactly one of problem= or family="
@@ -128,39 +130,59 @@ def make_wave_batch_solver(problem: Optional[Problem] = None,
     def fin_one(st, data):
         return _base(data).finalize(st)
 
-    init_v = jax.jit(jax.vmap(init_one))
-    runb_v = jax.jit(jax.vmap(runb_one, in_axes=(0, 0, None)))
+    runb_v = jax.vmap(runb_one, in_axes=(0, 0, None))
     fin_v = jax.jit(jax.vmap(fin_one))
 
     @jax.jit
-    def gather(tree, idx):
-        return jax.tree.map(lambda a: jnp.take(a, idx, axis=0), tree)
+    def init_and_first(x0_batch, data_batch, budget):
+        st = jax.vmap(init_one)(x0_batch, data_batch)
+        st = runb_v(st, data_batch, budget)
+        return st, jnp.sum(st.signal == 0)
 
-    @jax.jit
-    def scatter(tree, idx, sub):
-        return jax.tree.map(lambda a, b: a.at[idx].set(b), tree, sub)
+    # ON-DEVICE wave compaction (VERDICT r4 #6): the whole wave —
+    # stable argsort on signal, gather of the P-instance active set,
+    # budgeted resume, scatter back — is ONE jitted program per bucket
+    # size P, and the only per-wave host traffic is the returned
+    # active-count scalar (which both sizes the next bucket and decides
+    # loop exit).  The previous host-driven form fetched the full (B,)
+    # signal vector, argsorted on host, and dispatched gather/run/scatter
+    # as three separate calls per wave — tens of ms of round-trips and
+    # dispatch latency over ~10 waves through the remote tunnel.
+    _wave_steps = {}
+
+    def _wave_step(P):
+        if P not in _wave_steps:
+            @jax.jit
+            def step(st, data_batch, budget):
+                # actives first (original order — argsort is stable);
+                # tail padded with converged instances for which the
+                # resumed while_loop is a no-op and the scatter writes
+                # back unchanged state
+                idx = jnp.argsort(st.signal != 0)[:P].astype(jnp.int32)
+                g = lambda a: jnp.take(a, idx, axis=0)      # noqa: E731
+                sub = runb_v(jax.tree.map(g, st),
+                             jax.tree.map(g, data_batch), budget)
+                st = jax.tree.map(lambda a, b: a.at[idx].set(b), st, sub)
+                return st, jnp.sum(st.signal == 0)
+
+            _wave_steps[P] = step
+        return _wave_steps[P]
 
     def fn(x0_batch, data_batch=None):
         B = x0_batch.shape[0]
         if data_batch is None:
             assert not with_data, "this solver requires a data_batch"
             data_batch = jnp.zeros((B, 0), x0_batch.dtype)
-        st = init_v(x0_batch, data_batch)
-        st = runb_v(st, data_batch, jnp.asarray(first_wave, jnp.int32))
+        st, n_act_dev = init_and_first(
+            x0_batch, data_batch, jnp.asarray(first_wave, jnp.int32))
         wv = float(wave)
         for _ in range(max_waves):
-            sig = np.asarray(st.signal)        # the one host sync per wave
-            n_act = int(np.sum(sig == 0))
+            n_act = int(n_act_dev)             # the one host sync per wave
             if n_act == 0:
                 break
             P = min(B, max(min_pad, _next_pow2(n_act)))
-            # actives first (original order), tail padded with converged
-            # instances for which the resumed while_loop is a no-op
-            idx = jnp.asarray(
-                np.argsort(sig != 0, kind="stable")[:P], jnp.int32)
-            sub = runb_v(gather(st, idx), gather(data_batch, idx),
-                         jnp.asarray(int(wv), jnp.int32))
-            st = scatter(st, idx, sub)
+            st, n_act_dev = _wave_step(P)(
+                st, data_batch, jnp.asarray(int(wv), jnp.int32))
             # optional geometric growth: the straggler tail is a few % of
             # instances, so later waves trade wasted slots for fewer
             # host syncs/dispatches (budget is a runtime arg — no new
