@@ -143,15 +143,15 @@ def main():
     data = sample_qp_batch(key, B, D, nlin=L)
     x0 = jnp.zeros((B, D), jnp.float32)
 
-    # first-wave sweeps on v5e (waves of 2*fw, B=10k, n=16).  r2 sweep:
-    # adaptive fw=8: 58.8k iters/s; fw=12: 92.7k; fw=13: 93.7k; fw=16:
-    # 82.9k; fw=32: 56.9k; lockstep: 5.9k.  r3 re-sweep under the
-    # round-3 solver (residual gate, shared loop engine): fw=10: 80.2k;
-    # fw=12: 89.1k (best); fw=13: 83.9k; fw=14: 86.6k; fw=16: 84.9k —
-    # hit 0.999x everywhere, 12/13/14 within session noise.  mehrotra
-    # fw=6: 9.2k solves/s; fw=8: 13.7k @ 0.9997; fw=10: 10.7k @ 0.9999.
-    # fw=12/8 are the current measured optima at Ktol-hit parity.
-    fw_default = 8 if strategy == "mehrotra" else 12
+    # first-wave sweeps on v5e (waves of 2*fw, B=10k, n=16).  r5 re-sweep
+    # under the r5 solver (f32 barrier floor at eps^0.75 — max iteration
+    # count dropped from 184 to 12 and hit became 1.0000 with no rescue;
+    # on-device wave compaction; single-while-loop inertia retry with no
+    # vmap double-factorization): fw=8: 183k iters/s; fw=9: 215k; fw=10:
+    # 240k (best); fw=12: 223k; fw=14: 223k.  Historical: r2 fw=12 92.7k,
+    # r3 fw=12 89.1k, r4 88-95k — the r5 jump is the compounding of the
+    # three changes above, not the sweep.  mehrotra fw=8 re-measured r5.
+    fw_default = 8 if strategy == "mehrotra" else 10
     fw = int(os.environ.get("BENCH_FIRST_WAVE", fw_default))
     wv = int(os.environ.get("BENCH_WAVE", 2 * fw))
     # geometric wave growth for the straggler tail (r3 sweep at fw=12:

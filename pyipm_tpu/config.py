@@ -162,13 +162,28 @@ class IPMConfig:
     def mu_floor(self) -> float:
         """Lower bound on the adaptive barrier parameter.
 
-        The reference clamps mu only at >= 0 (pyipm.py:1811-1812); letting
-        mu collapse to ~1e-10 drives active slacks below float32
-        resolution, after which complementarity is pure roundoff.  The
-        default floor of machine eps is a no-op in float64 and restores
-        convergence in float32 (complementarity at the floor is
-        s*lda ~ eps << Ktol)."""
-        return self.mu_min if self.mu_min is not None else self.eps
+        The reference clamps mu only at >= 0 (pyipm.py:1811-1812).  In
+        float64 the default floor is machine eps — a no-op in practice,
+        keeping reference-parity iteration counts bit-for-bit.  In
+        float32 the floor is eps**0.75 (~6.4e-6): at mu ~ eps the
+        active-constraint Sigma = lda/s entries grow like 1/mu ~ 1e7,
+        the condensed matrix formation loses all its significant digits,
+        and the Newton direction degrades into an oscillation the line
+        search can only damp — the r2-r4 headline fleets carried the
+        SAME 11 deterministic stragglers (4x signal -2, 7x -1, ~180
+        wasted iterations each) for three rounds because of exactly
+        this.  At the eps**0.75 floor all of them converge in 8-10
+        iterations (r5 probe, /tmp/diag_floor: 23/23 vs 8/23 at the eps
+        floor), and complementarity at the floor (s*lda ~ 6e-6) is still
+        well under the default Ktol=1e-4, so converged solutions are
+        within O(mu) ~ 1e-5 of the true optimum — inside every oracle
+        in the suite."""
+        if self.mu_min is not None:
+            return self.mu_min
+        eps = self.eps
+        # f64 (eps ~ 2.2e-16): parity-exact eps floor; f32 and below:
+        # eps**0.75 keeps Sigma within the dtype's usable range
+        return eps if eps < 1e-12 else float(eps ** 0.75)
 
     @property
     def zeta0(self) -> float:

@@ -491,6 +491,7 @@ def reg_solve_kkt(
     block: int = 128,
     ir_steps: int = 1,
     want_solver: bool = False,
+    group: int = 4,
 ):
     """Regularize H for correct inertia and solve H dz = g.
 
@@ -530,7 +531,7 @@ def reg_solve_kkt(
         H, g, delta, mu, ex=ex, eeq=eeq, target=target, eps=eps_,
         reg_coef=reg_coef, eta=eta, beta=beta, delta0=delta0_,
         max_retries=max_retries, has_eq=M > 0, block=block,
-        ir_steps=ir_steps, want_solver=want_solver,
+        ir_steps=ir_steps, want_solver=want_solver, group=group,
     )
 
 
@@ -616,7 +617,7 @@ def ruiz_scale(H, iters: int = 3):
 
 def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
                     eta, beta, delta0, max_retries, has_eq, block,
-                    ir_steps=1, want_solver=False):
+                    ir_steps=1, want_solver=False, group=4):
     """Fast path: Ruiz-equilibrated LDL^T, one factorization per retry,
     inertia from pivot signs, factors reused for the solve, plus iterative
     refinement in the ORIGINAL (unscaled) coordinates.
@@ -658,7 +659,8 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
         # bandwidth bound, and the fori body is one fused kernel while
         # the unrolled chain re-materializes growing concatenations.
         def factor(Hm):
-            L_, d_, invb_ = ldlt_factor_blocks(Hm, block=block)
+            L_, d_, invb_ = ldlt_factor_blocks(Hm, block=block,
+                                               group=group)
             sb_ = invb_.shape[-1]
             npad_ = invb_.shape[0] * sb_
             n_ = L_.shape[0]
@@ -715,76 +717,116 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
     # regularization inside the fix branch exists for.
     ok0 = ldlt_inertia_ok(d0, target, eps)
 
-    def fix(args):
-        Hs0, delta_in, facs_in = args
-        dv_ = pivots(facs_in)
-        if has_eq:
-            # conditioning trigger analog of the reference's rcond test
-            ad = jnp.abs(dv_)
-            rcond = jnp.min(ad) / jnp.maximum(jnp.max(ad),
-                                              jnp.finfo(dtype).tiny)
-            illcond = (~jnp.all(jnp.isfinite(dv_))) | (rcond <= eps)
-            reg = _eq_reg_term(mu, reg_coef, eta, beta, dtype)
-            eq_shift = jnp.where(illcond, reg, jnp.zeros((), dtype))
-            Hb = Hs0 - eq_shift * jnp.diag((dsc * dsc) * eeq)
-        else:
-            eq_shift = jnp.zeros((), dtype)
-            Hb = Hs0
-        d1 = jnp.where(delta_in == 0, delta0,
-                       jnp.maximum(delta_in / 2, delta0))
+    # Escalation as ONE while_loop seeded with the good factorization —
+    # NOT a fix/keep lax.cond around it (the r4 structure).  Two reasons:
+    # (a) under vmap (the headline's per-instance condensed solves)
+    # lax.cond lowers to select and BOTH branches execute, so every
+    # iteration of a healthy batched fleet paid the fix branch's d1
+    # refactorization; a while_loop whose cond is false at entry costs
+    # one predicate evaluation instead.  (b) the cond shipped the O(K^2)
+    # factor buffers through its operand/result boundary.
+    if has_eq:
+        # conditioning trigger analog of the reference's rcond test:
+        # eq-block regularization applies only when the FIRST
+        # factorization is both inertia-wrong and ill-conditioned
+        ad0 = jnp.abs(d0)
+        rcond0 = jnp.min(ad0) / jnp.maximum(jnp.max(ad0),
+                                            jnp.finfo(dtype).tiny)
+        illcond0 = (~jnp.all(jnp.isfinite(d0))) | (rcond0 <= eps)
+        reg = _eq_reg_term(mu, reg_coef, eta, beta, dtype)
+        eq_applied = jnp.where((~ok0) & illcond0, reg,
+                               jnp.zeros((), dtype))
+    else:
+        eq_applied = jnp.zeros((), dtype)
+    d1 = jnp.where(delta == 0, delta0, jnp.maximum(delta / 2, delta0))
 
-        def try_factor(dlt):
-            return factor(Hb + dlt * jnp.diag(shift_diag))
+    def esc_cond(c):
+        # entry (t == 0) triggers on the full inertia+conditioning test
+        # like the reference (pyipm.py:1381); CONTINUATION exits on
+        # correct inertia alone (pyipm.py:1399) — exiting on conditioning
+        # too would never be met for an intrinsically ill-conditioned KKT
+        # system and would escalate delta to overflow.
+        dlt, facs_, t = c
+        dv = pivots(facs_)
+        bad = (~jnp.all(jnp.isfinite(dv))) | (jnp.sum(dv < 0) != target)
+        return jnp.where(t == 0, ~ok0, bad) & (t < max_retries)
 
-        def cond_fn(c):
-            # the escalation loop exits on correct inertia alone, like the
-            # reference (pyipm.py:1399) — NOT on conditioning, which for an
-            # intrinsically ill-conditioned KKT system would never be met
-            # and would escalate delta to overflow.
-            dlt, facs_, t = c
-            dv = pivots(facs_)
-            bad = (~jnp.all(jnp.isfinite(dv))) | (jnp.sum(dv < 0) != target)
-            return bad & (t < max_retries)
+    def esc_body(c):
+        dlt, _, t = c
+        dlt = jnp.where(t == 0, d1, dlt * 10.0)
+        facs_ = factor(Hs + dlt * jnp.diag(shift_diag)
+                       - eq_applied * jnp.diag((dsc * dsc) * eeq))
+        return dlt, facs_, t + 1
 
-        def body_fn(c):
-            dlt, _, t = c
-            dlt = dlt * 10.0
-            return dlt, try_factor(dlt), t + 1
+    d_f, facs, t_esc = lax.while_loop(
+        esc_cond, esc_body,
+        (jnp.zeros((), dtype), facs0, jnp.zeros((), jnp.int32)))
+    fixed = t_esc > 0
+    # warm-start delta: the escalated shift where fixing happened, the
+    # incoming warm start where the first factorization was kept;
+    # retries counts x10 escalations beyond the initial d1 attempt
+    # (the r4 fix-branch accounting)
+    delta_new = jnp.where(fixed, d_f, delta)
+    delta_applied = jnp.where(fixed, d_f, jnp.zeros((), dtype))
+    retries = jnp.maximum(t_esc - 1, 0)
+    applied_shifts = (delta_applied, eq_applied)
 
-        d_f, facs_f, t_f = lax.while_loop(
-            cond_fn, body_fn, (d1, try_factor(d1), jnp.zeros((), jnp.int32)))
-        Hf = (H - eq_shift * jnp.diag(eeq) + d_f * jnp.diag(ex))
-        # d_f is both the warm-start delta AND the shift actually applied
-        return facs_f, d_f, t_f, Hf, (d_f, eq_shift)
+    # skip-refinement threshold: when the unrefined solve's normwise
+    # backward error is already below eps^0.75 (f32: ~2e-5, well under
+    # the sqrt(eps)~3.5e-4 residual gate), the refinement solve + matvec
+    # buy nothing the line search can see — skip them.  eps^0.75 sits a
+    # decade-plus above the ~eps backward error of a stable
+    # factorization, so the skip fires exactly on the healthy steady
+    # state (measured: every bench-config call) while any element-growth
+    # pathology still takes the refinement path and then the gate.
+    ir_skip_tol = eps ** 0.75
+    hnorm_H = jnp.linalg.norm(H)
+    tiny_ = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
 
-    def keep(args):
-        _, delta_in, facs_in = args
-        # delta_in carries the warm start forward, but NO shift was applied
-        zero = jnp.zeros((), dtype)
-        return (facs_in, delta_in, jnp.zeros((), jnp.int32), H,
-                (zero, zero))
+    def solve_refined(facs_, dlt_a, eq_a, rhs):
+        """Cached-factor solve + guarded iterative refinement against the
+        SHIFTED system H + dlt_a*diag(ex) - eq_a*diag(eeq), applied as
+        O(K) diagonal corrections to the H matvec — the shifted matrix is
+        never materialized (r4 built a full K^2 Hf per call).  Returns
+        (solution, final residual norm, norm bound of the shifted
+        matrix).  The residual is CARRIED across steps — one matvec per
+        step, not two."""
+        def mv(y_):
+            return H @ y_ + dlt_a * (ex * y_) - eq_a * (eeq * y_)
 
-    facs, delta_new, retries, Hf, applied_shifts = lax.cond(
-        ~ok0, fix, keep, (Hs, delta, facs0))
-
-    def solve_refined(facs_, Hf_, rhs):
-        """Cached-factor solve + guarded iterative refinement; returns
-        (solution, final residual norm).  The residual is CARRIED across
-        steps — one H matvec per step, not two."""
+        # Frobenius bound by triangle inequality — exact enough for the
+        # tolerance scales it feeds (skip + gate tests)
+        hn = (hnorm_H + dlt_a * jnp.sqrt(jnp.sum(ex))
+              + eq_a * jnp.sqrt(jnp.sum(eeq)))
         y = scaled_solve(facs_, rhs)
-        r = rhs - Hf_ @ y
+        r = rhs - mv(y)
         rn = jnp.linalg.norm(r)
-        for _ in range(max(ir_steps, 1)):
-            y_new = y + scaled_solve(facs_, r)
-            r_new = rhs - Hf_ @ y_new
-            rn_new = jnp.linalg.norm(r_new)
-            better = rn_new < rn
-            y = jnp.where(better, y_new, y)
-            r = jnp.where(better, r_new, r)
-            rn = jnp.where(better, rn_new, rn)
-        return y, rn
 
-    dz, rn = solve_refined(facs, Hf, g)
+        def do_refine(c):
+            y, r, rn = c
+            for _ in range(max(ir_steps, 1)):
+                y_new = y + scaled_solve(facs_, r)
+                r_new = rhs - mv(y_new)
+                rn_new = jnp.linalg.norm(r_new)
+                better = rn_new < rn
+                y = jnp.where(better, y_new, y)
+                r = jnp.where(better, r_new, r)
+                rn = jnp.where(better, rn_new, rn)
+            return y, r, rn
+
+        if K > 128:
+            # unbatched large path: lax.cond executes ONE branch on TPU
+            # outside vmap, so the skip really saves the work
+            need = rn > ir_skip_tol * (
+                hn * jnp.linalg.norm(y) + jnp.linalg.norm(rhs) + tiny_)
+            y, r, rn = lax.cond(need, do_refine, lambda c: c, (y, r, rn))
+        else:
+            # small/batched path (vmapped condensed solves): under vmap
+            # cond runs both branches anyway — keep it straight-line
+            y, r, rn = do_refine((y, r, rn))
+        return y, rn, hn
+
+    dz, rn, Hnorm = solve_refined(facs, delta_applied, eq_applied, g)
 
     # ------------------------------------------------------------------
     # Residual gate (adversarial robustness): an UNPIVOTED LDL^T with a
@@ -798,31 +840,28 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
     # tiny pivot.  Never triggers on stable factorizations (backward
     # error ~ eps << sqrt(eps) even for ill-conditioned KKT systems).
     gate_tol = jnp.sqrt(eps)
-    Hnorm = jnp.linalg.norm(Hf)
     eq_applied0 = applied_shifts[1]
 
     def backward_err(rn_, dz_):
         return rn_ / (Hnorm * jnp.linalg.norm(dz_)
-                      + jnp.linalg.norm(g)
-                      + jnp.asarray(jnp.finfo(dtype).tiny, dtype))
+                      + jnp.linalg.norm(g) + tiny_)
 
     def gate_cond(c):
-        dlt, _, _, dz_, rn_, t = c
+        dlt, _, dz_, rn_, t = c
         return (backward_err(rn_, dz_) > gate_tol) & (t < max_retries)
 
     def gate_body(c):
-        dlt, facs_, Hf_, dz_, rn_, t = c
+        dlt, facs_, dz_, rn_, t = c
         dlt = jnp.where(dlt == 0, delta0, dlt) * 10.0
-        Hb_ = Hs - eq_applied0 * jnp.diag((dsc * dsc) * eeq)
-        f_new = factor(Hb_ + dlt * jnp.diag(shift_diag))
-        Hf_new = (H - eq_applied0 * jnp.diag(eeq) + dlt * jnp.diag(ex))
-        dz_new, rn_new = solve_refined(f_new, Hf_new, g)
-        return dlt, f_new, Hf_new, dz_new, rn_new, t + 1
+        f_new = factor(Hs + dlt * jnp.diag(shift_diag)
+                       - eq_applied0 * jnp.diag((dsc * dsc) * eeq))
+        dz_new, rn_new, _ = solve_refined(f_new, dlt, eq_applied0, g)
+        return dlt, f_new, dz_new, rn_new, t + 1
 
     if want_solver:
-        d_gate, facs, Hf, dz, rn, t_gate = lax.while_loop(
+        d_gate, facs, dz, rn, t_gate = lax.while_loop(
             gate_cond, gate_body,
-            (applied_shifts[0], facs, Hf, dz, rn,
+            (applied_shifts[0], facs, dz, rn,
              jnp.zeros((), jnp.int32)))
         gated = t_gate > 0
         delta_new = jnp.where(gated, d_gate, delta_new)
@@ -844,9 +883,9 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
     # the whole escalation loop behind a scalar lax.cond so the common
     # path's only extra cost is the backward-error test itself.
     def run_gate(_):
-        d_g, _f, _Hf, dz_g, _rn, t_g = lax.while_loop(
+        d_g, _f, dz_g, _rn, t_g = lax.while_loop(
             gate_cond, gate_body,
-            (applied_shifts[0], facs, Hf, dz, rn,
+            (applied_shifts[0], facs, dz, rn,
              jnp.zeros((), jnp.int32)))
         return dz_g, d_g, t_g
 
