@@ -62,7 +62,7 @@ def ldlt_unblocked(A):
     return lax.fori_loop(0, n, body, (L0, d0), unroll=False)
 
 
-def ldlt_factor(A, block: int = 128, segments: int = 12):
+def ldlt_factor(A, block: int = 128, segments: int = 12, rhs=None):
     """Blocked right-looking LDL^T with a segmented trailing update.
 
     Pads to a multiple of ``block`` with an identity tail (which contributes
@@ -92,7 +92,11 @@ def ldlt_factor(A, block: int = 128, segments: int = 12):
     """
     n = A.shape[0]
     if n <= block:
-        return ldlt_unblocked(A)
+        if rhs is None:
+            return ldlt_unblocked(A)
+        L0, d0 = ldlt_unblocked(A)
+        y0 = solve_triangular(L0, rhs, lower=True, unit_diagonal=True)
+        return L0, d0, y0
     nb = -(-n // block)
     npad = nb * block
     dtype = A.dtype
@@ -102,6 +106,9 @@ def ldlt_factor(A, block: int = 128, segments: int = 12):
         W = W.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
     else:
         W = A
+    with_rhs = rhs is not None
+    bt_full = (jnp.zeros((npad,), dtype).at[:n].set(rhs) if with_rhs
+               else jnp.zeros((0,), dtype))
 
     from pyipm_tpu.ops import pallas_ldlt as _pk
     if _pk._use_pallas(block):
@@ -118,23 +125,38 @@ def ldlt_factor(A, block: int = 128, segments: int = 12):
 
     L = jnp.zeros((npad, npad), dtype)
     d = jnp.zeros((npad,), dtype)
+    y = jnp.zeros((npad,), dtype) if with_rhs else None
     off = 0
     Wt = W                                   # running trailing submatrix
+    bt = bt_full                             # running fwd-substituted rhs
     for cs in sizes:
         m = npad - off                       # static per segment
         w = cs * block
         rows = jnp.arange(m)
 
         def body(k, carry, m=m, rows=rows):
-            Wt, Lt, dv = carry               # (m, m), (m, w), (w,)
+            Wt, Lt, dv, bt, yt = carry       # (m,m),(m,w),(w,),(m|0,),(w|0,)
             j0 = k * block                   # panel offset within segment
             Wkk = lax.dynamic_slice(Wt, (j0, j0), (block, block))
             Lkk, dk = panel_factor(Wkk)
             safe = jnp.where(jnp.abs(dk) > 0, dk, jnp.ones((), dtype))
             P = lax.dynamic_slice(Wt, (0, j0), (m, block))   # column slab
-            # Y = P L11^{-T} for sub-panel rows; rows <= panel masked out
-            Y = solve_triangular(Lkk, P.T, lower=True,
-                                 unit_diagonal=True).T
+            # Y = P L11^{-T} for sub-panel rows; rows <= panel masked out.
+            # With a rhs, its panel chunk RIDES THE SAME triangular-solve
+            # custom call as one extra column (forward substitution folded
+            # into the factorization: y_k = Lkk^{-1} b_k, then the
+            # trailing rhs is downdated by L21 y_k alongside the Schur
+            # update — the standalone forward sweep disappears)
+            if with_rhs:
+                bk = lax.dynamic_slice(bt, (j0,), (block,))
+                X = solve_triangular(
+                    Lkk, jnp.concatenate([P.T, bk[:, None]], axis=1),
+                    lower=True, unit_diagonal=True)
+                Y = X[:, :m].T
+                yk = X[:, m]
+            else:
+                Y = solve_triangular(Lkk, P.T, lower=True,
+                                     unit_diagonal=True).T
             below = (rows >= j0 + block)[:, None].astype(dtype)
             Yb = Y * below
             L21 = Yb / safe[None, :]
@@ -149,15 +171,25 @@ def ldlt_factor(A, block: int = 128, segments: int = 12):
             dv = lax.dynamic_update_slice(dv, dk, (j0,))
             # trailing update (implicitly restricted by the row mask)
             Wt = Wt - L21 @ Yb.T
-            return Wt, Lt, dv
+            if with_rhs:
+                bt = bt - L21 @ yk           # rows <= panel are masked 0
+                yt = lax.dynamic_update_slice(yt, yk, (j0,))
+            return Wt, Lt, dv, bt, yt
 
         Lt0 = jnp.zeros((m, w), dtype)
         dv0 = jnp.zeros((w,), dtype)
-        Wt, Lt, dv = lax.fori_loop(0, cs, body, (Wt, Lt0, dv0))
+        yt0 = jnp.zeros((w if with_rhs else 0,), dtype)
+        Wt, Lt, dv, bt, yt = lax.fori_loop(
+            0, cs, body, (Wt, Lt0, dv0, bt, yt0))
         L = L.at[off:, off:off + w].set(Lt)
         d = d.at[off:off + w].set(dv)
+        if with_rhs:
+            y = y.at[off:off + w].set(yt)
+            bt = bt[w:]
         Wt = Wt[w:, w:]                      # static shrink for next segment
         off += w
+    if with_rhs:
+        return L[:n, :n], d[:n], y[:n]
     return L[:n, :n], d[:n]
 
 
@@ -333,7 +365,7 @@ def ldlt_solve_inv(L, d, b):
 _TRI_LOOP_MAX = 256
 
 
-def ldlt_factor_blocks(A, block: int = 128, group: int = 4):
+def ldlt_factor_blocks(A, block: int = 128, group: int = 4, rhs=None):
     """Like :func:`ldlt_factor` but additionally returns the inverses of
     the unit-triangular diagonal SUPERBLOCKS, (nb/group, group*block,
     group*block), for :func:`ldlt_solve_blocks` at the superblock size.
@@ -356,9 +388,16 @@ def ldlt_factor_blocks(A, block: int = 128, group: int = 4):
     """
     n = A.shape[0]
     assert n > block
-    L, d = ldlt_factor(A, block=block)
+    if rhs is None:
+        L, d = ldlt_factor(A, block=block)
+        yf = None
+    else:
+        # forward substitution folded into the factorization (the rhs
+        # rides the panel triangular solves) — callers finish the solve
+        # with :func:`ldlt_solve_blocks_bwd`
+        L, d, yf = ldlt_factor(A, block=block, rhs=rhs)
     nb = -(-n // block)
-    g = max(1, int(group))
+    g = max(1, min(int(group), nb))
     nb2 = -(-nb // g)
     npad = nb2 * g * block
     sb = g * block
@@ -369,7 +408,7 @@ def ldlt_factor_blocks(A, block: int = 128, group: int = 4):
     panels = Lp.reshape(nb2 * g, block, nb2 * g, block)[idx, :, idx, :]
     invp = unit_lower_inverse(panels)        # (nb2*g, block, block)
     if g == 1:
-        return L, d, invp
+        return (L, d, invp) if yf is None else (L, d, invp, yf)
     # sub-diagonal panel blocks within each superblock:
     # Lsub[m, i, j] = L[(m*g+i)-panel-row, (m*g+j)-panel-col], i > j
     L4 = Lp.reshape(nb2, g, block, nb2, g, block)
@@ -393,7 +432,7 @@ def ldlt_factor_blocks(A, block: int = 128, group: int = 4):
         [jnp.concatenate([X[i][j] if j <= i else zero for j in range(g)],
                          axis=2) for i in range(g)], axis=1)
     invb = invb.reshape(nb2, g * block, sb)   # (nb2, sb, sb)
-    return L, d, invb
+    return (L, d, invb) if yf is None else (L, d, invb, yf)
 
 
 def ldlt_solve_blocks(L, d, invb, b, block: int = 128):
@@ -437,6 +476,36 @@ def ldlt_solve_blocks(L, d, invb, b, block: int = 128):
         mask = (cols >= j0 + block).astype(dtype)
         acc = (colslab.T * mask[None, :]) @ x
         zk = lax.dynamic_slice(z, (j0,), (block,))
+        xk = invb[k].T @ (zk - acc)
+        return lax.dynamic_update_slice(x, xk, (j0,))
+
+    x = lax.fori_loop(0, nb, bwd, jnp.zeros((npad,), dtype))
+    return x[:n]
+
+
+def ldlt_solve_blocks_bwd(Lp, dp, invb, y):
+    """Finish a solve whose FORWARD substitution was folded into the
+    factorization (``ldlt_factor_blocks(..., rhs=...)``): diagonal scale
+    + the backward block sweep of :func:`ldlt_solve_blocks`.  ``Lp``/
+    ``dp`` must already be padded to the superblock grid; ``y`` is the
+    (n,) forward-substituted rhs."""
+    nb = invb.shape[0]
+    sb = invb.shape[-1]
+    npad = nb * sb
+    n = y.shape[0]
+    dtype = Lp.dtype
+    yp = jnp.zeros((npad,), dtype).at[:n].set(y)
+    safe = jnp.where(jnp.abs(dp) > 0, dp, jnp.ones((), dtype))
+    z = yp / safe
+    cols = jnp.arange(npad)
+
+    def bwd(t, x):
+        k = nb - 1 - t
+        j0 = k * sb
+        colslab = lax.dynamic_slice(Lp, (0, j0), (npad, sb))
+        mask = (cols >= j0 + sb).astype(dtype)
+        acc = (colslab.T * mask[None, :]) @ x
+        zk = lax.dynamic_slice(z, (j0,), (sb,))
         xk = invb[k].T @ (zk - acc)
         return lax.dynamic_update_slice(x, xk, (j0,))
 
@@ -647,6 +716,8 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
 
         def fsolve(facs, rhs):
             return ldlt_solve_small(facs[0], facs[1], rhs)
+
+        main_first_solve = None            # no fwd-fold on the small path
     else:
         # large systems: blocked factorization + superblock-inverse block
         # substitution (triangular_solve custom calls cost as much as the
@@ -659,8 +730,13 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
         # bandwidth bound, and the fori body is one fused kernel while
         # the unrolled chain re-materializes growing concatenations.
         def factor(Hm):
-            L_, d_, invb_ = ldlt_factor_blocks(Hm, block=block,
-                                               group=group)
+            # the MAIN rhs (scaled g, identical across escalation/gate
+            # refactorizations) rides the factorization's panel
+            # triangular solves — the forward substitution sweep of the
+            # first solve costs nothing (rhs_fold is bound after
+            # ruiz_scale below, before the first factor() call)
+            L_, d_, invb_, yf_ = ldlt_factor_blocks(
+                Hm, block=block, group=group, rhs=rhs_fold)
             sb_ = invb_.shape[-1]
             npad_ = invb_.shape[0] * sb_
             n_ = L_.shape[0]
@@ -677,11 +753,18 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
                     [d_, jnp.ones((npad_ - n_,), L_.dtype)])
             else:
                 Lp_, dp_ = L_, d_
-            return (Lp_, dp_, invb_)
+            return (Lp_, dp_, invb_, yf_)
 
         def fsolve(facs, rhs):
             return ldlt_solve_blocks(facs[0], facs[1], facs[2], rhs,
                                      block=facs[2].shape[-1])
+
+        def main_first_solve(facs):
+            """First solve of the main rhs: backward sweep only (forward
+            substitution came folded out of the factorization)."""
+            with jax.named_scope("ipm-kkt-solve"):
+                return dsc * ldlt_solve_blocks_bwd(
+                    facs[0], facs[1], facs[2], facs[3])
 
     def pivots(facs):
         # slice off the identity padding tail (large branch pads d to
@@ -690,6 +773,8 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
 
     Hs, dsc = ruiz_scale(H)
     shift_diag = (dsc * dsc) * ex       # scaled-space image of diag(ex)
+    rhs_fold = dsc * g                  # main rhs in scaled coordinates
+    #                                     (folded into large-path factors)
 
     def scaled_solve(facs, rhs):
         """Solve H_f x = rhs via the scaled factors: x = D y,
@@ -783,14 +868,15 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
     hnorm_H = jnp.linalg.norm(H)
     tiny_ = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
 
-    def solve_refined(facs_, dlt_a, eq_a, rhs):
+    def solve_refined(facs_, dlt_a, eq_a, rhs, first=None):
         """Cached-factor solve + guarded iterative refinement against the
         SHIFTED system H + dlt_a*diag(ex) - eq_a*diag(eeq), applied as
         O(K) diagonal corrections to the H matvec — the shifted matrix is
-        never materialized (r4 built a full K^2 Hf per call).  Returns
-        (solution, final residual norm, norm bound of the shifted
-        matrix).  The residual is CARRIED across steps — one matvec per
-        step, not two."""
+        never materialized (r4 built a full K^2 Hf per call).  ``first``
+        overrides the initial solve (the fwd-folded backward-only path).
+        Returns (solution, final residual norm, norm bound of the
+        shifted matrix).  The residual is CARRIED across steps — one
+        matvec per step, not two."""
         def mv(y_):
             return H @ y_ + dlt_a * (ex * y_) - eq_a * (eeq * y_)
 
@@ -798,7 +884,7 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
         # tolerance scales it feeds (skip + gate tests)
         hn = (hnorm_H + dlt_a * jnp.sqrt(jnp.sum(ex))
               + eq_a * jnp.sqrt(jnp.sum(eeq)))
-        y = scaled_solve(facs_, rhs)
+        y = first(facs_) if first is not None else scaled_solve(facs_, rhs)
         r = rhs - mv(y)
         rn = jnp.linalg.norm(r)
 
@@ -826,7 +912,8 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
             y, r, rn = do_refine((y, r, rn))
         return y, rn, hn
 
-    dz, rn, Hnorm = solve_refined(facs, delta_applied, eq_applied, g)
+    dz, rn, Hnorm = solve_refined(facs, delta_applied, eq_applied, g,
+                                  first=main_first_solve)
 
     # ------------------------------------------------------------------
     # Residual gate (adversarial robustness): an UNPIVOTED LDL^T with a
@@ -855,7 +942,8 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
         dlt = jnp.where(dlt == 0, delta0, dlt) * 10.0
         f_new = factor(Hs + dlt * jnp.diag(shift_diag)
                        - eq_applied0 * jnp.diag((dsc * dsc) * eeq))
-        dz_new, rn_new, _ = solve_refined(f_new, dlt, eq_applied0, g)
+        dz_new, rn_new, _ = solve_refined(f_new, dlt, eq_applied0, g,
+                                          first=main_first_solve)
         return dlt, f_new, dz_new, rn_new, t + 1
 
     if want_solver:

@@ -131,13 +131,21 @@ def make_wave_batch_solver(problem: Optional[Problem] = None,
         return _base(data).finalize(st)
 
     runb_v = jax.vmap(runb_one, in_axes=(0, 0, None))
-    fin_v = jax.jit(jax.vmap(fin_one))
+    fin_raw = jax.vmap(fin_one)
+    fin_v = jax.jit(fin_raw)
 
+    # Every wave dispatch returns (state, active-count, OPTIMISTIC
+    # result): finalize is a handful of elementwise reads, so computing
+    # it unconditionally inside the same program means the common case —
+    # the whole fleet converged in this wave — needs NO further device
+    # round-trip.  Measured r5 (v5e, 10k QPs all converging within the
+    # first wave): the separate finalize dispatch + fetch cost ~35 ms of
+    # a 0.33 s solve through the remote tunnel.
     @jax.jit
     def init_and_first(x0_batch, data_batch, budget):
         st = jax.vmap(init_one)(x0_batch, data_batch)
         st = runb_v(st, data_batch, budget)
-        return st, jnp.sum(st.signal == 0)
+        return st, jnp.sum(st.signal == 0), fin_raw(st, data_batch)
 
     # ON-DEVICE wave compaction (VERDICT r4 #6): the whole wave —
     # stable argsort on signal, gather of the P-instance active set,
@@ -163,7 +171,8 @@ def make_wave_batch_solver(problem: Optional[Problem] = None,
                 sub = runb_v(jax.tree.map(g, st),
                              jax.tree.map(g, data_batch), budget)
                 st = jax.tree.map(lambda a, b: a.at[idx].set(b), st, sub)
-                return st, jnp.sum(st.signal == 0)
+                return (st, jnp.sum(st.signal == 0),
+                        fin_raw(st, data_batch))
 
             _wave_steps[P] = step
         return _wave_steps[P]
@@ -173,15 +182,15 @@ def make_wave_batch_solver(problem: Optional[Problem] = None,
         if data_batch is None:
             assert not with_data, "this solver requires a data_batch"
             data_batch = jnp.zeros((B, 0), x0_batch.dtype)
-        st, n_act_dev = init_and_first(
+        st, n_act_dev, res = init_and_first(
             x0_batch, data_batch, jnp.asarray(first_wave, jnp.int32))
         wv = float(wave)
         for _ in range(max_waves):
             n_act = int(n_act_dev)             # the one host sync per wave
             if n_act == 0:
-                break
+                return res                     # finalized on device already
             P = min(B, max(min_pad, _next_pow2(n_act)))
-            st, n_act_dev = _wave_step(P)(
+            st, n_act_dev, res = _wave_step(P)(
                 st, data_batch, jnp.asarray(int(wv), jnp.int32))
             # optional geometric growth: the straggler tail is a few % of
             # instances, so later waves trade wasted slots for fewer
@@ -189,13 +198,12 @@ def make_wave_batch_solver(problem: Optional[Problem] = None,
             # compile per size).  The cap bounds only the GROWN value —
             # a caller-tuned wave larger than max_wave is never shrunk.
             wv = min(wv * wave_growth, float(max(max_wave, wave)))
-        else:
-            # defensive: finish any remainder unbudgeted (unreachable for
-            # sane wave sizes — every wave makes progress toward the niter
-            # bound, at which the solver core always sets a signal)
-            run_v = jax.jit(jax.vmap(
-                lambda st_, d_: _base(d_).run(st_)))
-            st = run_v(st, data_batch)
+        # defensive: finish any remainder unbudgeted (unreachable for
+        # sane wave sizes — every wave makes progress toward the niter
+        # bound, at which the solver core always sets a signal)
+        run_v = jax.jit(jax.vmap(
+            lambda st_, d_: _base(d_).run(st_)))
+        st = run_v(st, data_batch)
         return fin_v(st, data_batch)
 
     return fn
