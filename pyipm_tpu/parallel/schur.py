@@ -155,6 +155,17 @@ class BlockNLP:
     # multipliers/slacks are pinned (le=0, li=0, s=1) and never move.
     ce_mask_key: Optional[str] = None
     ci_mask_key: Optional[str] = None
+    # declare the coupling constraints AFFINE in u (cc(u) = A u - b):
+    # their Jacobians are then constant, the border Hessian is zero, and
+    # the solver FUSES the pooled-feature reduction, the Schur-border
+    # formation, and the first bordered solve into ONE collective per
+    # iteration (and drops the coupling psum from the KKT residual) —
+    # the d=16-per-block weak-scaling configs are collective-latency
+    # bound (benchmarks/collective_census.py).  Wrong declarations are
+    # on the caller: a nonlinear cc declared linear solves with a stale
+    # Jacobian/Hessian model (like any misdeclared derivative override,
+    # reference pyipm.py:223-225).
+    linear_coupling: bool = False
 
     def __post_init__(self):
         assert (self.me > 0) == (self.ce_blk is not None)
@@ -232,6 +243,10 @@ def make_block_solver(spec: BlockNLP, mesh,
     tiny = float(np.finfo(dtype).tiny)
     guard = float(np.sqrt(np.finfo(dtype).tiny))  # see core.kkt._eps_of
     has_cc = mc > 0 or mci > 0     # any coupling (pooled u exists)
+    # linear-coupling collective fusion (see BlockNLP.linear_coupling);
+    # restricted to mci == 0: coupling-inequality residuals are needed
+    # BEFORE the bordered solve whose psum would carry u
+    lin_cc = has_cc and bool(spec.linear_coupling) and mci == 0
     nglob = int(np.prod([s_ for nm, s_ in
                          zip(mesh.axis_names, mesh.devices.shape)
                          if nm == axis]))
@@ -317,33 +332,51 @@ def make_block_solver(spec: BlockNLP, mesh,
     # residuals / merit on LOCAL (Kl, ...) slabs; psum for global scalars.
     # Layouts mirror core/kkt.py (reference pyipm.py:609-694) with the
     # coupling appended to the equality class.
-    def coupling_state(x, th, ccdata, lc, lci):
+    def coupling_state(x, th, ccdata, lc, lci, defer_u=False):
         """u (p,) replicated; eq coupling (cc(u), Jcc (mc,p)); ineq
-        coupling (cci(u), Jcci (mci,p)); w = Jcc^T lc + Jcci^T lci."""
-        u = _psum(jnp.sum(g_v(x, th), axis=0))
-        if mc:
-            cc_val = spec.cc(u, ccdata)
-            Jcc = jax.jacfwd(lambda u_: spec.cc(u_, ccdata))(u)
-            w = Jcc.T @ lc
+        coupling (cci(u), Jcci (mci,p)); w = Jcc^T lc + Jcci^T lci.
+
+        With ``defer_u`` (linear coupling only): skip the u collective —
+        the u slot returns the LOCAL pooled-feature sum for the caller
+        to ride on a later psum, the constraint VALUES return None, and
+        the (constant) Jacobians are evaluated at u = 0."""
+        if defer_u:
+            assert lin_cc
+            u = jnp.sum(g_v(x, th), axis=0)       # LOCAL part
+            u_jac = jnp.zeros((p,), dtype)        # affine: Jac is const
+            cc_val = cci_val = None
         else:
-            cc_val = jnp.zeros((0,), dtype)
+            u = _psum(jnp.sum(g_v(x, th), axis=0))
+            u_jac = u
+        if mc:
+            Jcc = jax.jacfwd(lambda u_: spec.cc(u_, ccdata))(u_jac)
+            w = Jcc.T @ lc
+            if not defer_u:
+                cc_val = spec.cc(u, ccdata)
+        else:
+            cc_val = None if defer_u else jnp.zeros((0,), dtype)
             Jcc = jnp.zeros((0, p), dtype)
             w = jnp.zeros((p,), dtype)
         if mci:
-            cci_val = spec.cci(u, ccdata)
-            Jcci = jax.jacfwd(lambda u_: spec.cci(u_, ccdata))(u)
+            Jcci = jax.jacfwd(lambda u_: spec.cci(u_, ccdata))(u_jac)
             w = w + Jcci.T @ lci
+            if not defer_u:
+                cci_val = spec.cci(u, ccdata)
         else:
-            cci_val = jnp.zeros((0,), dtype)
+            if not defer_u:
+                cci_val = jnp.zeros((0,), dtype)
             Jcci = jnp.zeros((0, p), dtype)
         return u, cc_val, Jcc, cci_val, Jcci, w
 
     def fval_g(x, th):
         return _psum(jnp.sum(f_v(x, th)))
 
-    def residual_blocks(x, s, sc, le, li, lc, lci, th, ccdata, mu):
+    def residual_blocks(x, s, sc, le, li, lc, lci, th, ccdata, mu,
+                        defer_u=False):
         """(rx (Kl,d), rs (Kl,ni), rce (Kl,me), rcc (mc,), rci (Kl,ni),
-        rsc (mci,), rcci (mci,), plus (u, Jcc, Jcci, w) coupling aux)."""
+        rsc (mci,), rcci (mci,), plus (u, Jcc, Jcci, w) coupling aux).
+        With ``defer_u`` (linear coupling): rcc is None and the u slot
+        holds the LOCAL pooled-feature sum (see coupling_state)."""
         Kl = x.shape[0]
         rx = gradf_v(x, th)
         if me:
@@ -362,7 +395,7 @@ def make_block_solver(spec: BlockNLP, mesh,
         rce = ce_v(x, th) if me else jnp.zeros((Kl, 0), dtype)
         if has_cc:
             u, cc_val, Jcc, cci_val, Jcci, w = coupling_state(
-                x, th, ccdata, lc, lci)
+                x, th, ccdata, lc, lci, defer_u=defer_u)
             rx = rx - jnp.einsum("kpd,p->kd", G_v(x, th), w)
             rcc = cc_val
         else:
@@ -383,19 +416,29 @@ def make_block_solver(spec: BlockNLP, mesh,
     def kkt_norms_g(x, s, sc, le, li, lc, lci, th, ccdata, mu,
                     extras=()):
         """Global KKT norms with the four residual reductions FUSED into
-        one psum (plus the coupling-state u psum when coupling exists —
-        that one is serially required to even evaluate the residuals).
+        one psum.  With nonlinear coupling the coupling-state u psum is
+        serially required to even evaluate the residuals (2 collectives);
+        with ``linear_coupling`` declared, the pooled-feature sum rides
+        the SAME psum as the norms and the coupling residual values are
+        assembled from the reduced u afterward (1 collective).
         ``extras``: additional local scalars to ride the same collective
         (returns (kkt, reduced_extras) when given)."""
-        rx, rs, rce, rcc, rci, rsc, rcci, _ = residual_blocks(
-            x, s, sc, le, li, lc, lci, th, ccdata, mu)
+        rx, rs, rce, rcc, rci, rsc, rcci, aux = residual_blocks(
+            x, s, sc, le, li, lc, lci, th, ccdata, mu, defer_u=lin_cc)
         zero = jnp.zeros((), dtype)
         parts = [jnp.sum(rx ** 2),
                  jnp.sum((rs * s) ** 2) if ni else zero,
                  jnp.sum(rce ** 2) if me else zero,
                  jnp.sum(rci ** 2) if ni else zero]
-        red = _psum(jnp.stack(
-            parts + [jnp.asarray(e, dtype) for e in extras]))
+        stacked = jnp.stack(
+            parts + [jnp.asarray(e, dtype) for e in extras])
+        if lin_cc:
+            red, u_g = _psum_pack(stacked, aux[0])
+            rcc = (spec.cc(u_g, ccdata) if mc
+                   else jnp.zeros((0,), dtype))
+            rcci = jnp.zeros((0,), dtype)           # lin_cc => mci == 0
+        else:
+            red = _psum(stacked)
         k1 = jnp.sqrt(red[0])
         k2 = (jnp.sqrt(red[1] + jnp.sum((rsc * sc) ** 2))
               if has_barrier else zero)
@@ -441,10 +484,9 @@ def make_block_solver(spec: BlockNLP, mesh,
         ce_g, ci_g, u = _psum_pack(ce_l1, ci_l1, gsum)
         return _con_l1_from(ce_g, ci_g, u, sc, ccdata)
 
-    def phi_g(x, s, sc, th, ccdata, mu, nu):
-        """l1 merit (reference pyipm.py:670-694), globally reduced —
-        objective, l1 parts, barrier sum, and pooled features ride ONE
-        fused psum (the line search pays this per trial chunk)."""
+    def _phi_parts(x, s, th):
+        """Local (pre-psum) merit ingredients: (f, |ce|_1, |ci-s|_1,
+        sum log s, pooled features)."""
         ce_l1, ci_l1, gsum = _con_l1_parts(x, s, th)
         floc = jnp.sum(f_v(x, th))
         if ni:
@@ -454,14 +496,42 @@ def make_block_solver(spec: BlockNLP, mesh,
             logloc = jnp.sum(logs)
         else:
             logloc = jnp.zeros((), dtype)
-        fg, ce_g, ci_g, logg, u = _psum_pack(
-            floc, ce_l1, ci_l1, logloc, gsum)
+        return floc, ce_l1, ci_l1, logloc, gsum
+
+    def _phi_from_reduced(fg, ce_g, ci_g, logg, u, sc, ccdata, mu, nu):
         val = fg + nu * _con_l1_from(ce_g, ci_g, u, sc, ccdata)
         if ni:
             val = val - mu * logg
         if mci:
             val = val - mu * jnp.sum(jnp.log(sc))
         return val
+
+    def phi_g(x, s, sc, th, ccdata, mu, nu, with_parts=False):
+        """l1 merit (reference pyipm.py:670-694), globally reduced —
+        objective, l1 parts, barrier sum, and pooled features ride ONE
+        fused psum (the line search pays this per trial chunk).  With
+        ``with_parts`` additionally returns the reduced (ce_l1, ci_l1,
+        u) so downstream consumers (the SOC's infeasibility test at the
+        same point) pay no second collective."""
+        fg, ce_g, ci_g, logg, u = _psum_pack(*_phi_parts(x, s, th))
+        val = _phi_from_reduced(fg, ce_g, ci_g, logg, u, sc, ccdata,
+                                mu, nu)
+        if with_parts:
+            return val, (ce_g, ci_g, u)
+        return val
+
+    def phi_g_pair(pt1, pt2, th, ccdata, mu, nu):
+        """Merit at TWO trial points through ONE fused psum (census: the
+        SOC's two acceptance tests used to pay one collective each).
+        Each point is (x, s, sc)."""
+        p1 = _phi_parts(pt1[0], pt1[1], th)
+        p2 = _phi_parts(pt2[0], pt2[1], th)
+        red = _psum_pack(*p1, *p2)
+        v1 = _phi_from_reduced(red[0], red[1], red[2], red[3], red[4],
+                               pt1[2], ccdata, mu, nu)
+        v2 = _phi_from_reduced(red[5], red[6], red[7], red[8], red[9],
+                               pt2[2], ccdata, mu, nu)
+        return v1, v2
 
     # ------------------------------------------------------------------
     def ls_multiplier_init(x, th, ccdata):
@@ -842,8 +912,19 @@ def make_block_solver(spec: BlockNLP, mesh,
         elementwise from v = sum_k G_k dx_k."""
         Kl = x.shape[0]
         rx, rs, rce, rcc, rci, rsc, rcci, (u, Jcc, Jcci, w) = \
-            residual_blocks(x, s, sc, le, li, lc, lci, th, ccdata, mu)
-        g1, g2, g3e, g3c, g4 = -rx, -rs, -rce, -rcc, -rci
+            residual_blocks(x, s, sc, le, li, lc, lci, th, ccdata, mu,
+                            defer_u=lin_cc)
+        g1, g2, g3e, g4 = -rx, -rs, -rce, -rci
+        if lin_cc:
+            # u holds the LOCAL pooled-feature sum; it rides the first
+            # bordered solve's collective, after which the coupling rhs
+            # is assembled from the reduced value (callable sentinel)
+            gsum_dir = u
+            g3c = ((lambda u_: -spec.cc(u_, ccdata)) if mc
+                   else jnp.zeros((0,), dtype))
+        else:
+            gsum_dir = None
+            g3c = -rcc
         g2c, g4c = -rsc, -rcci
         sigc = (lci / (sc + guard) if mci else jnp.zeros((0,), dtype))
 
@@ -926,6 +1007,7 @@ def make_block_solver(spec: BlockNLP, mesh,
                         + delta_app[:, None] * dx_)
             mem_new = lbfgs_st
 
+        border_state = {}      # lin_cc: filled at the first bordered solve
         if has_cc:
             G = G_v(x, th)                               # (Kl, p, d)
 
@@ -937,7 +1019,10 @@ def make_block_solver(spec: BlockNLP, mesh,
                     t = t + lci @ spec.cci(u_, ccdata)
                 return t
 
-            Hu = jax.hessian(lag_u)(u)                   # (p, p)
+            if lin_cc:
+                Hu = jnp.zeros((p, p), dtype)            # affine coupling
+            else:
+                Hu = jax.hessian(lag_u)(u)               # (p, p)
             # slack-eliminated coupling-inequality Sigma folds into the
             # border Hessian (sign: the condensed system SUBTRACTS
             # G^T Hhat G, so Sigc enters with a minus inside Hhat)
@@ -946,19 +1031,31 @@ def make_block_solver(spec: BlockNLP, mesh,
             Ghat = jnp.zeros((Kl, n, p), dtype)
             Ghat = Ghat.at[:, :d, :].set(jnp.swapaxes(G, 1, 2))
             X = solve_blk(Ghat)                          # (Kl, n, p)
-            # the psums that ride the ICI (SURVEY.md §5)
-            Pm = _psum(jnp.einsum("kpd,kdq->pq", G, X[:, :d, :]))
-            Bm = jnp.zeros((p + mc, p + mc), dtype)
-            Bm = Bm.at[:p, :p].set(jnp.eye(p, dtype=dtype) - Pm @ Hhat)
-            if mc:
-                Bm = Bm.at[:p, p:].set(Pm @ Jcc.T)
-                Bm = Bm.at[p:, :p].set(Jcc)
-                # tiny Tikhonov on the zero block for rank-deficient
-                # coupling; the refinement below corrects toward the
-                # unregularized system (the lstsq_minnorm pattern)
-                Bm = Bm.at[p:, p:].set(
-                    cfg.reg_coef * jnp.eye(mc, dtype=dtype))
-            blu = jax.scipy.linalg.lu_factor(Bm)
+
+            def build_border(Pm_):
+                Bm = jnp.zeros((p + mc, p + mc), dtype)
+                Bm = Bm.at[:p, :p].set(
+                    jnp.eye(p, dtype=dtype) - Pm_ @ Hhat)
+                if mc:
+                    Bm = Bm.at[:p, p:].set(Pm_ @ Jcc.T)
+                    Bm = Bm.at[p:, :p].set(Jcc)
+                    # tiny Tikhonov on the zero block for rank-deficient
+                    # coupling; the refinement below corrects toward the
+                    # unregularized system (the lstsq_minnorm pattern)
+                    Bm = Bm.at[p:, p:].set(
+                        cfg.reg_coef * jnp.eye(mc, dtype=dtype))
+                return jax.scipy.linalg.lu_factor(Bm)
+
+            Pm_loc = jnp.einsum("kpd,kdq->pq", G, X[:, :d, :])
+            if lin_cc:
+                # the Schur-border psum, the pooled-feature sum, and the
+                # first bordered solve's pv share ONE collective (see
+                # solve_full_multi); until then the border is pending
+                Pm = blu = None
+            else:
+                # the psums that ride the ICI (SURVEY.md §5)
+                Pm = _psum(Pm_loc)
+                blu = build_border(Pm)
         else:
             G = jnp.zeros((Kl, 0, d), dtype)
             Hu = jnp.zeros((0, 0), dtype)
@@ -966,19 +1063,53 @@ def make_block_solver(spec: BlockNLP, mesh,
             X = jnp.zeros((Kl, n, 0), dtype)
             blu = None
 
-        def solve_full(rhs0_, g3c_):
-            """Solve the bordered system for block rhs (Kl, n) and
-            coupling rhs g3c_; returns (U (Kl, n), dac (mc,), v (p,))."""
-            U0 = solve_blk(rhs0_[..., None])[..., 0]
+        def solve_full_multi(rhs0s, g3cs, extras=()):
+            """Solve the bordered system for R block rhs columns at once
+            (list of (Kl, n)) with coupling rhs list g3cs; ``extras`` are
+            local scalars that RIDE the border psum (collective-census:
+            residual-norm reductions cost no extra all-reduce).  Returns
+            (list of (U, dac, v, vv), reduced_extras) where vv is the
+            globally-reduced coupling image psum(G @ U[:, :d]) computed
+            ANALYTICALLY as pv + Pm @ y — no second collective."""
+            R = len(rhs0s)
+            U0s = solve_blk(jnp.stack(rhs0s, axis=-1))      # (Kl, n, R)
             if not has_cc:
-                return U0, jnp.zeros((0,), dtype), jnp.zeros((0,), dtype)
-            pv = _psum(jnp.einsum("kpd,kd->p", G, U0[:, :d]))
-            vdac = jax.scipy.linalg.lu_solve(
-                blu, jnp.concatenate([pv, g3c_]))
-            v, dac = vdac[:p], vdac[p:]
-            y = Hhat @ v - (Jcc.T @ dac if mc else 0.0)
-            U = U0 + jnp.einsum("knp,p->kn", X, y)
-            return U, dac, v
+                red = _psum_pack(*extras) if extras else ()
+                zc_ = jnp.zeros((0,), dtype)
+                outs = [(U0s[..., r], zc_, zc_, zc_) for r in range(R)]
+                return outs, tuple(red)
+            pv_loc = jnp.einsum("kpd,kdr->pr", G, U0s[:, :d, :])
+            if lin_cc and "blu" not in border_state:
+                # FIRST bordered solve: the pooled-feature sum and the
+                # Schur-border matrix ride the pv collective (the
+                # linear-coupling fusion — 3 all-reduces become 1)
+                packed = _psum_pack(pv_loc, Pm_loc, gsum_dir, *extras)
+                pv, red = packed[0], tuple(packed[3:])
+                border_state["Pm"] = packed[1]
+                border_state["u"] = packed[2]
+                border_state["blu"] = build_border(packed[1])
+            else:
+                packed = _psum_pack(pv_loc, *extras)
+                pv, red = packed[0], tuple(packed[1:])
+            blu_l = border_state["blu"] if lin_cc else blu
+            Pm_l = border_state["Pm"] if lin_cc else Pm
+            outs = []
+            for r in range(R):
+                g3c_r = g3cs[r]
+                if callable(g3c_r):
+                    g3c_r = g3c_r(border_state["u"])
+                vdac = jax.scipy.linalg.lu_solve(
+                    blu_l, jnp.concatenate([pv[:, r], g3c_r]))
+                v, dac = vdac[:p], vdac[p:]
+                y = Hhat @ v - (Jcc.T @ dac if mc else 0.0)
+                U = U0s[..., r] + jnp.einsum("knp,p->kn", X, y)
+                vv = pv[:, r] + Pm_l @ y
+                outs.append((U, dac, v, vv))
+            return outs, red
+
+        def solve_full(rhs0_, g3c_, extras=()):
+            outs, red = solve_full_multi([rhs0_], [g3c_], extras)
+            return outs[0] + (red,)
 
         def recover(U, dac, v, g2_, g4_, g2c_, g4c_):
             dx = U[:, :d]
@@ -997,14 +1128,20 @@ def make_block_solver(spec: BlockNLP, mesh,
                 dbc = jnp.zeros((0,), dtype)
             return dx, ds, dsc, dae, db, dbc, dac
 
-        def full_residual(dx, ds, dsc, dae, db, dbc, dac, g2_, g2c_):
+        def full_residual(dx, ds, dsc, dae, db, dbc, dac, g2_, g2c_,
+                          vv=None):
             """Residual of the REGULARIZED full Newton system via block
-            matvecs + psums — same contract as ops/condensed.py's
-            refinement (the applied delta/eq shifts are part of the
-            system; the border Tikhonov is NOT, so refinement pulls
-            toward the unregularized coupling row).  ``g2_``/``g2c_`` are
-            the complementarity rhs of the system being refined (they
-            differ between the Mehrotra predictor and corrector)."""
+            matvecs — same contract as ops/condensed.py's refinement
+            (the applied delta/eq shifts are part of the system; the
+            border Tikhonov is NOT, so refinement pulls toward the
+            unregularized coupling row).  ``g2_``/``g2c_`` are the
+            complementarity rhs of the system being refined (they differ
+            between the Mehrotra predictor and corrector).  ``vv`` is
+            the globally-reduced coupling image psum(G dx): every dx
+            this refinement sees is a sum of solve_full outputs, whose
+            vv comes back analytically from the border psum — passing it
+            in makes the residual COLLECTIVE-FREE (census item; the r4
+            form psummed here every step)."""
             r1 = g1 - hess_mv(dx)
             if me:
                 r1 = r1 - jnp.einsum("kmd,km->kd", Je, dae)
@@ -1024,14 +1161,17 @@ def make_block_solver(spec: BlockNLP, mesh,
             else:
                 r2, r4 = g2_, g4
             if has_cc:
-                vv = _psum(jnp.einsum("kpd,kd->p", G, dx))
                 wrow = -Hu @ vv
                 if mc:
                     wrow = wrow + Jcc.T @ dac
                 if mci:
                     wrow = wrow + Jcci.T @ dbc
                 r1 = r1 - jnp.einsum("kpd,p->kd", G, wrow)
-                r3c = g3c - (Jcc @ vv if mc else g3c * 0)
+                # lin_cc defers g3c behind the first bordered solve's
+                # collective; by residual time the border is built
+                g3c_a = (g3c(border_state["u"]) if callable(g3c)
+                         else g3c)
+                r3c = g3c_a - (Jcc @ vv if mc else g3c_a * 0)
                 if mci:
                     r2c = g2c_ - (sigc * dsc - dbc)
                     r4c = g4c - (Jcci @ vv - dsc)
@@ -1042,12 +1182,16 @@ def make_block_solver(spec: BlockNLP, mesh,
                 r2c, r4c = g2c_, g4c
             return r1, r2, r3e, r3c, r4, r2c, r4c
 
-        def res_norm2(r):
+        def res_norm2_parts(r):
+            """(local, replicated) split of the squared residual norm —
+            the local part rides a later collective instead of paying
+            its own psum."""
             r1, r2, r3e, r3c, r4, r2c, r4c = r
-            return (_psum(jnp.sum(r1 ** 2) + jnp.sum(r2 ** 2)
-                          + jnp.sum(r3e ** 2) + jnp.sum(r4 ** 2))
-                    + jnp.sum(r3c ** 2) + jnp.sum(r2c ** 2)
-                    + jnp.sum(r4c ** 2))
+            loc = (jnp.sum(r1 ** 2) + jnp.sum(r2 ** 2)
+                   + jnp.sum(r3e ** 2) + jnp.sum(r4 ** 2))
+            rep = (jnp.sum(r3c ** 2) + jnp.sum(r2c ** 2)
+                   + jnp.sum(r4c ** 2))
+            return loc, rep
 
         def _ineq_coupling_pull(r2c_, r4c_):
             """x-row contribution of the eliminated coupling-inequality
@@ -1056,17 +1200,28 @@ def make_block_solver(spec: BlockNLP, mesh,
             wc = Jcci.T @ (sigc * r4c_ + r2c_)
             return jnp.einsum("kpd,p->kd", G, wc)
 
-        def condensed_apply(r):
-            """One bordered solve of the residual system against the
-            CACHED factors (no refactorization) — ops/condensed.py's
-            condensed_apply, distributed."""
+        def _condensed_rhs(r):
             r1, r2, r3e, r3c, r4, r2c, r4c = r
             rr1 = r1 + (jiT_mv(sig * r4 + r2) if ni else 0.0)
             if mci:
                 rr1 = rr1 + _ineq_coupling_pull(r2c, r4c)
             rr0 = jnp.concatenate([rr1, r3e], axis=1) if me else rr1
-            Ue, eac, ev = solve_full(rr0, r3c)
-            return recover(Ue, eac, ev, r2, r4, r2c, r4c)
+            return rr0, r3c
+
+        def condensed_apply_multi(rs, extras=()):
+            """Bordered solves of several residual systems against the
+            CACHED factors (no refactorization) — ops/condensed.py's
+            condensed_apply, distributed, multi-rhs so correction
+            candidates share ONE border collective; ``extras`` ride it.
+            Returns ([(correction steps, vv)], reduced_extras)."""
+            rhs = [_condensed_rhs(r) for r in rs]
+            outs, red = solve_full_multi([a for a, _ in rhs],
+                                         [b for _, b in rhs], extras)
+            res = []
+            for r, (Ue, eac, ev, vvc) in zip(rs, outs):
+                _, r2, _, _, r4, r2c, r4c = r
+                res.append((recover(Ue, eac, ev, r2, r4, r2c, r4c), vvc))
+            return res, red
 
         def assemble_rhs0(g2_, g2c_):
             rr1 = (g1 + jiT_mv(sig * g4 + g2_) if ni else g1)
@@ -1074,28 +1229,78 @@ def make_block_solver(spec: BlockNLP, mesh,
                 rr1 = rr1 + _ineq_coupling_pull(g2c_, g4c)
             return jnp.concatenate([rr1, g3e], axis=1) if me else rr1
 
-        def solve_refined(g2_, g2c_):
+        def solve_refined(g2_, g2c_, defer_final_guard=False):
             """Bordered solve + guarded refinement steps for the system
             with complementarity rhs g2_/g2c_ (ops/condensed.py
-            pattern).  Step count and guarding are config knobs
-            (IPMConfig.schur_refine_steps/_guard): each guarded step
-            costs ~5 small psums, so latency-bound meshes can trade
-            refinement for collectives (collective-census artifact)."""
-            steps = recover(*solve_full(assemble_rhs0(g2_, g2c_), g3c),
-                            g2_, g4, g2c_, g4c)
-            for _ in range(max(int(cfg.schur_refine_steps), 0)):
-                r = full_residual(*steps, g2_, g2c_)
-                corr = condensed_apply(r)
-                steps2 = tuple(a + b for a, b in zip(steps, corr))
-                if not cfg.schur_refine_guard:
-                    steps = steps2
-                    continue
-                rn0 = res_norm2(r)
-                rn1 = res_norm2(full_residual(*steps2, g2_, g2c_))
-                better = rn1 < rn0
-                steps = tuple(jnp.where(better, a2, a)
-                              for a, a2 in zip(steps, steps2))
-            return steps
+            pattern).  Collective cost (census): the r4 form paid ~5
+            psums per guarded step; now the residual is collective-free
+            (analytic vv), the residual-norm reductions ride the
+            correction solves' border psum, and rejected-candidate
+            re-corrections are computed as a second rhs column of the
+            SAME solve — 1 collective per step plus one final guard
+            reduction (which ``defer_final_guard`` hands to the caller's
+            next fused collective, making it free too).
+
+            With ``defer_final_guard`` returns ``(steps_accepted,
+            pending)`` where pending = (steps_candidate, local_norm_part,
+            replicated_norm_part, rn_accepted) or None; the caller
+            reduces the local part and keeps the candidate iff its norm
+            is smaller."""
+            U, dac_, v, vv, _ = solve_full(assemble_rhs0(g2_, g2c_), g3c)
+            steps = recover(U, dac_, v, g2_, g4, g2c_, g4c)
+            nsteps = max(int(cfg.schur_refine_steps), 0)
+            if nsteps == 0:
+                return (steps, None) if defer_final_guard else steps
+            if not cfg.schur_refine_guard:
+                for _ in range(nsteps):
+                    r = full_residual(*steps, g2_, g2c_, vv=vv)
+                    out, _ = condensed_apply_multi([r])
+                    (corr, vvc), = out
+                    steps = tuple(a + b for a, b in zip(steps, corr))
+                    vv = vv + vvc
+                return (steps, None) if defer_final_guard else steps
+            steps_acc, vv_acc = steps, vv
+            r_acc = full_residual(*steps_acc, g2_, g2c_, vv=vv_acc)
+            loc_acc, rep_acc = res_norm2_parts(r_acc)
+            rn_acc = None
+            cand = None          # (steps, vv, r, loc, rep) pending guard
+            for _ in range(nsteps):
+                if cand is None:
+                    out, red = condensed_apply_multi([r_acc],
+                                                     extras=(loc_acc,))
+                    (corr, vvc), = out
+                    rn_acc = red[0] + rep_acc
+                else:
+                    # resolve the pending candidate with the norm that
+                    # rode THIS solve's psum; corrections for both
+                    # outcomes are two rhs columns of one bordered solve
+                    sC, vC, rC, locC, repC = cand
+                    out, red = condensed_apply_multi([rC, r_acc],
+                                                     extras=(locC,))
+                    (corrA, vvA), (corrB, vvB) = out
+                    rnC = red[0] + repC
+                    better = rnC < rn_acc
+                    steps_acc = tuple(jnp.where(better, a, b)
+                                      for a, b in zip(sC, steps_acc))
+                    vv_acc = jnp.where(better, vC, vv_acc)
+                    r_acc = tuple(jnp.where(better, a, b)
+                                  for a, b in zip(rC, r_acc))
+                    rn_acc = jnp.minimum(rnC, rn_acc)
+                    corr = tuple(jnp.where(better, a, b)
+                                 for a, b in zip(corrA, corrB))
+                    vvc = jnp.where(better, vvA, vvB)
+                new_steps = tuple(a + b for a, b in zip(steps_acc, corr))
+                new_vv = vv_acc + vvc
+                new_r = full_residual(*new_steps, g2_, g2c_, vv=new_vv)
+                cand = (new_steps, new_vv, new_r,
+                        *res_norm2_parts(new_r))
+            sC, vC, rC, locC, repC = cand
+            if defer_final_guard:
+                return steps_acc, (sC, locC, repC, rn_acc)
+            rnC = _psum(locC) + repC
+            better = rnC < rn_acc
+            return tuple(jnp.where(better, a, b)
+                         for a, b in zip(sC, steps_acc))
 
         if use_mehrotra:
             # Mehrotra predictor-corrector through the SAME factorization
@@ -1149,10 +1354,12 @@ def make_block_solver(spec: BlockNLP, mesh,
             g2_m = g2_aff + (corr * msk if msk is not None else corr)
             g2c_m = (g2c_aff + (mu_new - dsc_a * dlci_a) / (sc + guard)
                      if mci else g2c_aff)
-            dx, ds, dsc, dae, db, dbc, dac = solve_refined(g2_m, g2c_m)
+            steps_main, pending = solve_refined(g2_m, g2c_m,
+                                                defer_final_guard=True)
         else:
             mu_new = mu
-            dx, ds, dsc, dae, db, dbc, dac = solve_refined(g2, g2c)
+            steps_main, pending = solve_refined(g2, g2c,
+                                                defer_final_guard=True)
 
         def resolve(rce_n, rcc_n, rci_n, rcci_n):
             """Same-matrix SOC: constraint-only residuals through the
@@ -1165,7 +1372,7 @@ def make_block_solver(spec: BlockNLP, mesh,
                 rr1 = rr1 + _ineq_coupling_pull(jnp.zeros((mci,), dtype),
                                                 g4cn)
             rr0 = (jnp.concatenate([rr1, -rce_n], axis=1) if me else rr1)
-            Up, _, vp = solve_full(rr0, -rcc_n)
+            Up, _, vp, _, _ = solve_full(rr0, -rcc_n)
             dx_p = Up[:, :d]
             ds_p = (ji_mv(dx_p) - g4n
                     if ni else jnp.zeros((Kl, 0), dtype))
@@ -1173,7 +1380,7 @@ def make_block_solver(spec: BlockNLP, mesh,
                      else jnp.zeros((0,), dtype))
             return dx_p, ds_p, dsc_p
 
-        return (dx, ds, dsc, dae, db, dbc, dac, resolve, delta_new,
+        return (steps_main, pending, resolve, delta_new,
                 retries, mu_new, mem_new)
 
     # ------------------------------------------------------------------
@@ -1185,7 +1392,7 @@ def make_block_solver(spec: BlockNLP, mesh,
             s_blk, sc = st.s
             not_first = (st.outer > 0) | (st.inner > 0)
             with jax.named_scope("ipm-direction"):
-                (dx, ds, dsc, dae, db, dbc, dac, resolve, delta_new,
+                (steps_main, pending, resolve, delta_new,
                  retries, mu_new, mem_new) = direction(
                      st.x, s_blk, sc, le, li, lc, lci, th, ccdata,
                      st.mu, st.delta, lbfgs_st=st.lbfgs,
@@ -1197,22 +1404,59 @@ def make_block_solver(spec: BlockNLP, mesh,
                 st = st._replace(
                     lbfgs=mem_new,
                     x_old=jnp.where(not_first, st.x, st.x_old))
-            # multiplier sign flip (reference pyipm.py:1723-1725)
-            dle, dli, dlc, dlci = -dae, -db, -dac, -dbc
 
             # fused post-direction reductions (collective-census item):
             # the reg-retry count (reg_retries is declared REPLICATED in
             # the state specs while each device's escalation loop trips
             # independently), the merit-penalty l1 parts, the pooled
-            # features, and the two dphi dot products ride ONE psum —
-            # the formulas (pyipm.py:1727-1735) are unchanged
+            # features, the merit entry value's ingredients, the step-
+            # norm parts, the dphi dot products, AND the deferred final
+            # refinement-guard norm all ride ONE psum — the formulas
+            # (pyipm.py:1727-1735) are unchanged.  Direction-dependent
+            # lanes are computed for BOTH refinement-guard candidates
+            # and selected after the reduction.
             ce_l1, ci_l1, gsum = _con_l1_parts(st.x, s_blk, th)
-            gdot = jnp.sum(gradf_v(st.x, th) * dx)
-            bdot_s = (jnp.sum(-st.mu / (s_blk + guard) * ds) if ni
-                      else jnp.zeros((), dtype))
-            retr_g, ce_g, ci_g, gdot_g, bds_g, u_g = _psum_pack(
-                jnp.asarray(retries, dtype), ce_l1, ci_l1, gdot, bdot_s,
-                gsum)
+            floc = jnp.sum(f_v(st.x, th))
+            if ni:
+                logs0 = jnp.log(s_blk)
+                if imk:
+                    logs0 = logs0 * _im(th)
+                logloc = jnp.sum(logs0)
+            else:
+                logloc = jnp.zeros((), dtype)
+
+            def dir_lanes(stp):
+                dx_, ds_ = stp[0], stp[1]
+                gdot = jnp.sum(gradf_v(st.x, th) * dx_)
+                bdot_s = (jnp.sum(-mu_new / (s_blk + guard) * ds_) if ni
+                          else jnp.zeros((), dtype))
+                sdx2 = jnp.sum(dx_ ** 2)
+                sds2 = (jnp.sum(ds_ ** 2) if ni
+                        else jnp.zeros((), dtype))
+                return (gdot, bdot_s, sdx2, sds2)
+
+            lanesA = dir_lanes(steps_main)
+            fixed = (jnp.asarray(retries, dtype), ce_l1, ci_l1, floc,
+                     logloc, gsum)
+            if pending is not None:
+                sC, locC, repC, rn_acc = pending
+                lanesB = dir_lanes(sC)
+                red = _psum_pack(*fixed, *lanesA, *lanesB, locC)
+                retr_g, ce_g, ci_g, f_g, log_g, u_g = red[:6]
+                better = (red[14] + repC) < rn_acc
+                steps = tuple(jnp.where(better, a, b)
+                              for a, b in zip(sC, steps_main))
+                gdot_g, bds_g, sdx2_g, sds2_g = (
+                    jnp.where(better, b_, a_)
+                    for a_, b_ in zip(red[6:10], red[10:14]))
+            else:
+                red = _psum_pack(*fixed, *lanesA)
+                retr_g, ce_g, ci_g, f_g, log_g, u_g = red[:6]
+                gdot_g, bds_g, sdx2_g, sds2_g = red[6:10]
+                steps = steps_main
+            dx, ds, dsc, dae, db, dbc, dac = steps
+            # multiplier sign flip (reference pyipm.py:1723-1725)
+            dle, dli, dlc, dlci = -dae, -db, -dac, -dbc
             st = st._replace(
                 mu=mu_new, delta=delta_new,
                 reg_retries=st.reg_retries + retr_g.astype(jnp.int32))
@@ -1237,7 +1481,9 @@ def make_block_solver(spec: BlockNLP, mesh,
                 a_s = jnp.minimum(a_s, max_step_ftb(sc, dsc, cfg.tau))
                 a_l = jnp.minimum(a_l, max_step_ftb(lci, dlci, cfg.tau))
 
-            phi0 = phi_g(st.x, s_blk, sc, th, ccdata, st.mu, nu)
+            # merit entry value from the fused lanes — no second psum
+            phi0 = _phi_from_reduced(f_g, ce_g, ci_g, log_g, u_g, sc,
+                                     ccdata, st.mu, nu)
             dphi0 = bdot - nu * cl1
             # roundoff-aware Armijo slack (see core/linesearch.py)
             slack = 10.0 * eps * (1.0 + jnp.abs(phi0))
@@ -1245,12 +1491,22 @@ def make_block_solver(spec: BlockNLP, mesh,
             def armijo_rhs(a):
                 return phi0 + a * cfg.eta * dphi0 + slack
 
-            def phi_at(a):
-                return phi_g(st.x + a * dx, s_blk + a * ds, sc + a * dsc,
-                             th, ccdata, st.mu, nu)
+            # the ENTRY trial's reduced l1 parts are stashed for the SOC
+            # (same point => its infeasibility test and coupling pool
+            # need no collectives of their own)
+            entry_parts = []
 
-            base = jnp.sqrt(_psum(jnp.sum((a_s * dx) ** 2)
-                                  + jnp.sum((a_l * ds) ** 2))
+            def phi_at(a):
+                val, parts = phi_g(
+                    st.x + a * dx, s_blk + a * ds, sc + a * dsc,
+                    th, ccdata, st.mu, nu, with_parts=True)
+                if not entry_parts:
+                    entry_parts.append(parts)
+                return val
+
+            # a_s/a_l are replicated scalars, so the step-norm psum
+            # factors into the already-reduced sum-of-squares lanes
+            base = jnp.sqrt(a_s ** 2 * sdx2_g + a_l ** 2 * sds2_g
                             + jnp.sum((a_l * dsc) ** 2))
 
             payload_zero = (jnp.zeros_like(dx), jnp.zeros_like(ds),
@@ -1259,11 +1515,16 @@ def make_block_solver(spec: BlockNLP, mesh,
             def try_soc(a):
                 """Second-order correction when infeasibility increased
                 (reference pyipm.py:1464-1489) via the same-matrix
-                resolve."""
+                resolve.  Census: the infeasibility test and the pooled
+                features at the trial point come from the ENTRY phi
+                evaluation's fused lanes (same point — zero extra
+                collectives), the two acceptance phis share one psum,
+                and the corrected boundary pmin precedes them."""
                 xa = st.x + a * dx
                 sa = s_blk + a * ds
                 sca = sc + a * dsc
-                new_l1 = con_l1(xa, sa, sca, th, ccdata)
+                ce_ga, ci_ga, u_ga = entry_parts[0]
+                new_l1 = _con_l1_from(ce_ga, ci_ga, u_ga, sca, ccdata)
 
                 def do(_):
                     Kl = xa.shape[0]
@@ -1276,7 +1537,7 @@ def make_block_solver(spec: BlockNLP, mesh,
                     else:
                         rci_n = jnp.zeros((Kl, 0), dtype)
                     if has_cc:
-                        un = _psum(jnp.sum(g_v(xa, th), axis=0))
+                        un = u_ga          # pooled features at xa, reduced
                         rcc_n = (spec.cc(un, ccdata) if mc
                                  else jnp.zeros((0,), dtype))
                         rcci_n = (spec.cci(un, ccdata) - sca if mci
@@ -1287,8 +1548,6 @@ def make_block_solver(spec: BlockNLP, mesh,
                     dx_p, ds_p, dsc_p = resolve(rce_n, rcc_n, rci_n,
                                                 rcci_n)
                     rhs = armijo_rhs(a)
-                    ok1 = phi_g(xa + dx_p, sa + ds_p, sca + dsc_p,
-                                th, ccdata, st.mu, nu) <= rhs
                     if has_barrier:
                         a_corr = one
                         if ni:
@@ -1297,12 +1556,16 @@ def make_block_solver(spec: BlockNLP, mesh,
                         if mci:
                             a_corr = jnp.minimum(a_corr, max_step_ftb(
                                 sc, a * dsc + dsc_p, cfg.tau))
-                        ok2 = phi_g(
-                            st.x + a_corr * (a * dx + dx_p),
-                            s_blk + a_corr * (a * ds + ds_p),
-                            sc + a_corr * (a * dsc + dsc_p),
-                            th, ccdata, st.mu, nu) <= rhs
-                        return ok1 & ok2, (dx_p, ds_p, dsc_p, a_corr)
+                        phi1, phi2 = phi_g_pair(
+                            (xa + dx_p, sa + ds_p, sca + dsc_p),
+                            (st.x + a_corr * (a * dx + dx_p),
+                             s_blk + a_corr * (a * ds + ds_p),
+                             sc + a_corr * (a * dsc + dsc_p)),
+                            th, ccdata, st.mu, nu)
+                        ok = (phi1 <= rhs) & (phi2 <= rhs)
+                        return ok, (dx_p, ds_p, dsc_p, a_corr)
+                    ok1 = phi_g(xa + dx_p, sa + ds_p, sca + dsc_p,
+                                th, ccdata, st.mu, nu) <= rhs
                     return ok1, (dx_p, ds_p, dsc_p, one)
 
                 def dont(_):
@@ -1351,7 +1614,24 @@ def make_block_solver(spec: BlockNLP, mesh,
                 extras.append(bad_local.astype(dtype))
             want_f = cfg.Ftol is not None and not has_barrier
             if want_f:
+                i_f = len(extras)
                 extras.append(jnp.sum(f_v(sn.x, th)))
+            # centrality ingredients for the adaptive barrier update ride
+            # the same collective; the outer epilogue's centrality_stats
+            # reads them from the carried state (census: the epilogue
+            # previously paid its own sl psum + masked-count psum)
+            want_cent = has_barrier and cfg.mu_strategy != "mehrotra"
+            if want_cent:
+                i_sl = len(extras)
+                msk_c = _im(th) if (ni and imk) else None
+                if ni:
+                    pairs_c = ((msk_c * sbn_ * lin_) if msk_c is not None
+                               else sbn_ * lin_)
+                    extras.append(jnp.sum(pairs_c))
+                else:
+                    extras.append(jnp.zeros((), dtype))
+                if msk_c is not None:
+                    extras.append(jnp.sum(msk_c))
             with jax.named_scope("ipm-kkt-residual"):
                 if extras:
                     kktv, ext_g = kkt_norms_g(
@@ -1396,7 +1676,7 @@ def make_block_solver(spec: BlockNLP, mesh,
             if want_f:
                 # per-inner-iteration Ftol, eq-only (pyipm.py:1756-1766);
                 # f_new came back on the fused KKT collective
-                f_new = ext_g[-1]
+                f_new = ext_g[i_f]
                 live = sn.signal != -2
                 hit = live & (jnp.abs(sn.f_past - f_new)
                               <= abs(cfg.Ftol))
@@ -1404,6 +1684,14 @@ def make_block_solver(spec: BlockNLP, mesh,
                     signal=jnp.where(hit, jnp.asarray(2, jnp.int32),
                                      sn.signal),
                     f_past=jnp.where(live, f_new, sn.f_past))
+            if want_cent:
+                sl_g = ext_g[i_sl] + (jnp.sum(scn_ * lcin_) if mci
+                                      else jnp.zeros((), dtype))
+                ntot_g = (ext_g[i_sl + 1] + mci
+                          if (ni and imk)
+                          else jnp.asarray(
+                              sn.x.shape[0] * nglob * ni + mci, dtype))
+                sn = sn._replace(g=jnp.stack([sl_g, ntot_g]))
             return sn
 
         return inner_iter
@@ -1411,13 +1699,18 @@ def make_block_solver(spec: BlockNLP, mesh,
     # ------------------------------------------------------------------
     def make_engine(th, ccdata, Kl):
         def centrality_stats(st):
+            """Only the global pair MINIMUM pays a collective here (one
+            pmin); the pair SUM and the active-pair count rode the
+            preceding KKT-residual psum and are carried in ``st.g`` —
+            exact, because the state is unchanged between that reduction
+            and this outer epilogue (a muTol exit without a fresh inner
+            step leaves x/s/lda exactly as the last stepped state, whose
+            stats st.g holds; the init state seeds st.g the same way)."""
             _, li_, _, lci_ = st.lda
             s_, sc_ = st.s
             msk = _im(th) if (ni and imk) else None
             pairs = ((msk * s_ * li_) if msk is not None else s_ * li_) \
                 if ni else None
-            sl = jnp.sum(pairs) if ni else jnp.zeros((), dtype)
-            sl = _psum(sl) + (jnp.sum(sc_ * lci_) if mci else 0.0)
             if ni:
                 pmin_in = (jnp.where(msk > 0, pairs, jnp.inf)
                            if msk is not None else pairs)
@@ -1426,8 +1719,8 @@ def make_block_solver(spec: BlockNLP, mesh,
                     smin = jnp.minimum(smin, jnp.min(sc_ * lci_))
             else:
                 smin = jnp.min(sc_ * lci_)
-            ntot = (_psum(jnp.sum(msk)) + mci if msk is not None
-                    else Kl * nglob * ni + mci)
+            sl = st.g[0]
+            ntot = st.g[1]
             # Ragged edge case: a fleet declaring ni > 0 whose ci_mask is
             # all-zero in EVERY block (and mci == 0) yields ntot == 0 and
             # smin == inf, which would drive centrality_mu to NaN and kill
@@ -1496,7 +1789,34 @@ def make_block_solver(spec: BlockNLP, mesh,
         if ni and imk:
             li = li * _im(th)
 
-        kkt0 = kkt_norms_g(x, s, sc, le, li, lc, lci, th, ccdata, mu0)
+        # centrality ingredients for the adaptive barrier update ride the
+        # initial KKT collective (the epilogue reads them from st.g —
+        # see centrality_stats); needed at init for the edge case where
+        # the very first inner check exits at muTol without any step
+        want_cent = has_barrier and cfg.mu_strategy != "mehrotra"
+        init_extras = []
+        if want_cent:
+            msk_c = _im(th) if (ni and imk) else None
+            if ni:
+                pr0 = (msk_c * s * li) if msk_c is not None else s * li
+                init_extras.append(jnp.sum(pr0))
+            else:
+                init_extras.append(jnp.zeros((), dtype))
+            if msk_c is not None:
+                init_extras.append(jnp.sum(msk_c))
+        if init_extras:
+            kkt0, ext0 = kkt_norms_g(x, s, sc, le, li, lc, lci, th,
+                                     ccdata, mu0,
+                                     extras=tuple(init_extras))
+            sl0 = ext0[0] + (jnp.sum(sc * lci) if mci
+                             else jnp.zeros((), dtype))
+            ntot0 = (ext0[1] + mci if (ni and imk)
+                     else jnp.asarray(Kl * nglob * ni + mci, dtype))
+            g0 = jnp.stack([sl0, ntot0])
+        else:
+            kkt0 = kkt_norms_g(x, s, sc, le, li, lc, lci, th, ccdata,
+                               mu0)
+            g0 = jnp.zeros((0,), dtype)
         f_past = (fval_g(x, th) if cfg.Ftol is not None
                   else jnp.zeros((), dtype))
         i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
@@ -1525,7 +1845,7 @@ def make_block_solver(spec: BlockNLP, mesh,
             f_past=f_past, alpha=jnp.zeros((), dtype),
             reg_retries=i32(0),
             lbfgs=lbfgs0,
-            x_old=x_old0, g=jnp.zeros((0,), dtype),
+            x_old=x_old0, g=g0,
             hist=(lambda T: MetricsHistory(
                 kkt=jnp.zeros((T, 4), dtype), mu=jnp.zeros((T,), dtype),
                 nu=jnp.zeros((T,), dtype), alpha=jnp.zeros((T,), dtype),
@@ -1931,6 +2251,7 @@ def sample_block_general(key, K: int, d: int, me: int = 1, ni: int = 2,
         cci = None
     spec = BlockNLP(f_blk=f_blk, d=d, ce_blk=ce_blk, me=me,
                     ci_blk=ci_blk, ni=ni, g_blk=g_blk, cc=cc, p=p, mc=mc,
-                    cci=cci, mci=mci)
+                    cci=cci, mci=mci,
+                    linear_coupling=not nonlinear_cc)
     x0 = jnp.zeros((K, d), dtype)
     return spec, theta, ccdata, x0
