@@ -111,7 +111,8 @@ def main():
         IPMConfig(float_dtype="float32", verbosity=0, lbfgs=6,
                   niter=20, miter=40), mesh))
 
-    outdir = os.path.join(HERE, "results", "r04")
+    outdir = os.path.join(HERE, "results",
+                          os.environ.get("CENSUS_ROUND", "r05"))
     os.makedirs(outdir, exist_ok=True)
     path = os.path.join(outdir, "collective_census.json")
     with open(path, "w") as f:

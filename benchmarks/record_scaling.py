@@ -60,8 +60,11 @@ def ici_roofline(million, census):
                 return r["lowered_total"]
         return default
 
-    n_default = n_coll("general_coupled_adaptive", 29)
+    # the d16 predictions key on the d16 CONFIG'S OWN census row (the r4
+    # roofline used the general-coupled row, overstating the d16 count)
+    n_default = n_coll("weakscale_like_d16_linear_cc", 29)
     n_lean = n_coll("weakscale_d16_refine0", 19)
+    n_general = n_coll("general_coupled_adaptive", 29)
 
     def eff(comp, n):
         comm = n * lat_s + payload / ici_bps
@@ -77,10 +80,11 @@ def ici_roofline(million, census):
         "per_iter_border_bytes": payload,
         "assumed_ici_bytes_per_s": ici_bps,
         "assumed_small_collective_latency_s": lat_s,
-        "collectives_per_iter_default": n_default,
+        "collectives_per_iter_d16_default": n_default,
         "collectives_per_iter_refine0": n_lean,
+        "collectives_per_iter_general_adaptive": n_general,
         "predicted_efficiency_million_cfg": round(
-            eff(comp_s, n_default), 6),
+            eff(comp_s, n_general), 6),
         "predicted_efficiency_d16_default": round(
             eff(d16_comp, n_default), 4),
         "predicted_efficiency_d16_refine0": round(
@@ -90,12 +94,14 @@ def ici_roofline(million, census):
         "note": (f"count x latency dominates: a config clears 90% only "
                  f"when its per-iteration compute exceeds ~9*N*latency "
                  f"({9 * n_default * lat_s * 1e3:.2f} ms at "
-                 f"N={n_default}).  The d=16-per-block weak-scaling "
-                 f"config (~1 ms steps) is therefore latency-bound and "
-                 f"predicted {eff(d16_comp, n_default):.2f} at defaults "
-                 f"— say it plainly; dropping to schur_refine_steps=0 "
-                 f"(N={n_lean}) brings it to {eff(d16_comp, n_lean):.2f}"
-                 f", and the 1M-variable config "
+                 f"N={n_default}).  The r5 collective surgery (carried-"
+                 f"residual refinement riding the border psum, linear-"
+                 f"coupling fusion, mega-packed post-direction phase) "
+                 f"cut the d=16 config from 29 to {n_default} all-"
+                 f"reduces/iter WITH guarded 2-step refinement kept: "
+                 f"~1 ms steps now predict {eff(d16_comp, n_default):.3f}"
+                 f" at defaults (r4: 0.87), {eff(d16_comp, n_lean):.3f} "
+                 f"at schur_refine_steps=0, and the 1M-variable config "
                  f"({comp_s * 1e3:.0f} ms/iter compute) is predicted "
                  f">0.999 regardless"),
         "blocks": blocks, "d": d, "mc": mc,

@@ -61,11 +61,16 @@ class IPMConfig:
     #   second-order complementarity correction (one factorization, two
     #   cached-factor solves; requires inequality constraints, the
     #   'condensed' linear solver, and exact-Hessian mode);
-    #   'auto' = RECOMMENDED for batched inequality fleets: resolves per
-    #   problem to 'mehrotra' whenever compatible (BENCH_r02: 9,489 vs
-    #   7,824 end-to-end solves/s at a better Ktol hit rate), else
-    #   'adaptive'.  Default stays 'adaptive' for reference
-    #   iteration-count parity.
+    #   'auto' = resolves per problem to 'mehrotra' whenever compatible,
+    #   else 'adaptive'.  DEFAULT RATIONALE (r5, measured): with the f32
+    #   barrier floor at eps^0.75 (see mu_floor) 'adaptive' matches
+    #   Mehrotra end-to-end on the 10k-QP headline fleet — 27.1k vs
+    #   26.2k solves/s, both at hit rate 1.0000 (BENCH r5; r2-r4's
+    #   Mehrotra advantage came from adaptive's since-fixed deep-mu
+    #   stall tail) — so the default stays 'adaptive', which ALSO gives
+    #   reference iteration-count parity.  'mehrotra' remains the better
+    #   pick when per-solve iteration count itself matters (mean 4.4 vs
+    #   8.2 iterations: fewer, costlier steps).
     linear_solver: str = "condensed"  # 'condensed' (slack-eliminated, default) | 'ldlt' | 'lu'
     max_reg_retries: int = 40      # bound on the delta escalation loop
     max_backtrack: int = 10_000    # bound on the Armijo backtracking loop

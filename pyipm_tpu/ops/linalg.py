@@ -385,6 +385,16 @@ def ldlt_factor_blocks(A, block: int = 128, group: int = 4, rhs=None):
         g(g-1)/2 set of batched panel matmuls), cutting the SEQUENTIAL
         substitution chain in :func:`ldlt_solve_blocks` from nb to
         nb/group steps of ``group``-times-larger matvecs.
+
+    r5 state of the hot path at K=4352 (v5e, interleaved same-session
+    medians): factor ~4.5 ms (~12 TF/s), full reg_solve_kkt 6.5-6.7 ms
+    (8.2-8.5 TF/s end-to-end; group=8 beat group=4 by ~3%, hence the
+    default).  The remaining factor/solve gap is the substitution
+    sweeps' latency (~1.3-1.8 ms for sub-ms of bandwidth — the fwd-fold
+    measured neutral-to-slightly-positive) plus ~0.2 ms of residual
+    gate; closing to 10 TF/s likely needs a fused Pallas whole-factor
+    kernel rather than more sweep tuning (session noise is ±10% at
+    these walls).
     """
     n = A.shape[0]
     assert n > block
@@ -560,7 +570,7 @@ def reg_solve_kkt(
     block: int = 128,
     ir_steps: int = 1,
     want_solver: bool = False,
-    group: int = 4,
+    group: int = 8,
 ):
     """Regularize H for correct inertia and solve H dz = g.
 
@@ -686,7 +696,7 @@ def ruiz_scale(H, iters: int = 3):
 
 def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
                     eta, beta, delta0, max_retries, has_eq, block,
-                    ir_steps=1, want_solver=False, group=4):
+                    ir_steps=1, want_solver=False, group=8):
     """Fast path: Ruiz-equilibrated LDL^T, one factorization per retry,
     inertia from pivot signs, factors reused for the solve, plus iterative
     refinement in the ORIGINAL (unscaled) coordinates.
