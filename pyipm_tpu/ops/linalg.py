@@ -464,13 +464,14 @@ def ldlt_solve_blocks(L, d, invb, b, block: int = 128):
         dp = jnp.zeros((npad,), dtype).at[:n].set(d)
         dp = dp.at[n:].set(1.0)
     bp = jnp.zeros((npad,), dtype).at[:n].set(b)
-    cols = jnp.arange(npad)
 
     def fwd(k, y):
         j0 = k * block
         rowslab = lax.dynamic_slice(Lp, (j0, 0), (block, npad))
-        mask = (cols < j0).astype(dtype)
-        acc = (rowslab * mask[None, :]) @ y
+        # y fills left-to-right, so columns >= j0 are still exactly zero
+        # (and the slab right of the diagonal block is zero in L) — no
+        # masked slab copy needed
+        acc = rowslab @ y
         bk = lax.dynamic_slice(bp, (j0,), (block,))
         yk = invb[k] @ (bk - acc)
         return lax.dynamic_update_slice(y, yk, (j0,))
@@ -479,18 +480,33 @@ def ldlt_solve_blocks(L, d, invb, b, block: int = 128):
     safe = jnp.where(jnp.abs(dp) > 0, dp, jnp.ones((), dtype))
     z = y / safe
 
+    from pyipm_tpu.ops.pallas_ldlt import bwd_sweep_blocks
+    x = bwd_sweep_blocks(Lp, z, invb)
+    return x[:n]
+
+
+def _bwd_sweep_xla(Lp, z, invb):
+    """XLA fori_loop form of the backward superblock sweep (the fallback
+    of pallas_ldlt.bwd_sweep_blocks); ``z`` already diagonal-scaled and
+    padded to (npad,)."""
+    nb = invb.shape[0]
+    sb = invb.shape[-1]
+    npad = Lp.shape[0]
+    dtype = Lp.dtype
+
     def bwd(t, x):
         k = nb - 1 - t
-        j0 = k * block
-        colslab = lax.dynamic_slice(Lp, (0, j0), (npad, block))
-        mask = (cols >= j0 + block).astype(dtype)
-        acc = (colslab.T * mask[None, :]) @ x
-        zk = lax.dynamic_slice(z, (j0,), (block,))
+        j0 = k * sb
+        colslab = lax.dynamic_slice(Lp, (0, j0), (npad, sb))
+        # no row mask needed: x fills top-down, so rows < j0+sb are
+        # still exactly zero and self-mask — the r4 form materialized a
+        # masked copy of the 20 MB slab every step
+        acc = colslab.T @ x
+        zk = lax.dynamic_slice(z, (j0,), (sb,))
         xk = invb[k].T @ (zk - acc)
         return lax.dynamic_update_slice(x, xk, (j0,))
 
-    x = lax.fori_loop(0, nb, bwd, jnp.zeros((npad,), dtype))
-    return x[:n]
+    return lax.fori_loop(0, nb, bwd, jnp.zeros((npad,), dtype))
 
 
 def ldlt_solve_blocks_bwd(Lp, dp, invb, y):
@@ -498,7 +514,9 @@ def ldlt_solve_blocks_bwd(Lp, dp, invb, y):
     factorization (``ldlt_factor_blocks(..., rhs=...)``): diagonal scale
     + the backward block sweep of :func:`ldlt_solve_blocks`.  ``Lp``/
     ``dp`` must already be padded to the superblock grid; ``y`` is the
-    (n,) forward-substituted rhs."""
+    (n,) forward-substituted rhs.  On TPU the sweep runs as ONE Pallas
+    streaming kernel (pallas_ldlt.bwd_sweep_blocks) instead of a
+    fori_loop of per-superblock fusions."""
     nb = invb.shape[0]
     sb = invb.shape[-1]
     npad = nb * sb
@@ -507,19 +525,8 @@ def ldlt_solve_blocks_bwd(Lp, dp, invb, y):
     yp = jnp.zeros((npad,), dtype).at[:n].set(y)
     safe = jnp.where(jnp.abs(dp) > 0, dp, jnp.ones((), dtype))
     z = yp / safe
-    cols = jnp.arange(npad)
-
-    def bwd(t, x):
-        k = nb - 1 - t
-        j0 = k * sb
-        colslab = lax.dynamic_slice(Lp, (0, j0), (npad, sb))
-        mask = (cols >= j0 + sb).astype(dtype)
-        acc = (colslab.T * mask[None, :]) @ x
-        zk = lax.dynamic_slice(z, (j0,), (sb,))
-        xk = invb[k].T @ (zk - acc)
-        return lax.dynamic_update_slice(x, xk, (j0,))
-
-    x = lax.fori_loop(0, nb, bwd, jnp.zeros((npad,), dtype))
+    from pyipm_tpu.ops.pallas_ldlt import bwd_sweep_blocks
+    x = bwd_sweep_blocks(Lp, z, invb)
     return x[:n]
 
 

@@ -365,3 +365,140 @@ def _solve_vmap_rule(axis_size, in_batched, L, d, b):
     if _lane_dispatch(L.shape[-1], axis_size, L.dtype):
         return batched_ldlt_solve(L, d, b), True
     return _lin.ldlt_solve_inv(L, d, b), True
+
+
+# ----------------------------------------------------------------------
+# streaming backward block-substitution sweep (large unbatched systems)
+#
+# ldlt_solve_blocks' XLA form runs the superblock sweep as a fori_loop of
+# separate fusions: measured ~1.3-1.5 ms of solve tax per reg_solve_kkt
+# at K=4352 against a ~0.12 ms DMA floor (the sweep reads the factor
+# once).  This kernel runs the WHOLE backward sweep as one pallas_call:
+# the grid iterates (superblock k descending, row-chunk c ascending) —
+# sequential on TPU — streaming (R, SB) slabs of the factor through VMEM
+# while the rhs/solution vectors and the running accumulator stay
+# resident.  Per step k:
+#
+#     x[k] = invb[k]^T (z[k] - sum_{rows >= (k+1) SB} Lp[rows, k-cols]^T x[rows])
+#
+# with the inner sum accumulated chunk by chunk.  R divides SB, so
+# chunks are never partially masked.
+def _bwd_sweep_kernel(z_ref, lp_ref, invb_ref, x_ref, acc_ref, *,
+                      R, SB, nb, nchunk):
+    k_rev = pl.program_id(0)
+    c = pl.program_id(1)
+    k = nb - 1 - k_rev
+    # chunk row index after the clamped remap of the slab index_map:
+    # only chunks at or above the first sub-diagonal row do real work;
+    # the rest re-visit the same block (no DMA) and skip compute
+    c0 = (k + 1) * (SB // R)
+    row_chunk = jnp.minimum(c + c0, nchunk - 1)
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(c + c0 <= nchunk - 1)
+    def _accum():
+        xc = x_ref[:, pl.ds(row_chunk * R, R)]      # (1, R) written by
+        #                                             earlier (larger) k
+        acc_ref[:] += jax.lax.dot_general(
+            xc, lp_ref[:],                           # (1,R) x (R,SB)
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=acc_ref.dtype)
+
+    @pl.when(c == nchunk - 1)
+    def _finish():
+        t = z_ref[:, pl.ds(k * SB, SB)] - acc_ref[:]    # (1, SB)
+        # invb[k]^T t  ==  (t @ invb[k])^T
+        xk = jax.lax.dot_general(
+            t, invb_ref[0],
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=t.dtype)
+        x_ref[:, pl.ds(k * SB, SB)] = xk
+
+
+def _use_bwd_sweep(npad: int, sb: int, dtype) -> bool:
+    if _FORCE_DISABLE:
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    if dtype != jnp.float32:
+        return False
+    R = _sweep_chunk(npad, sb)
+    if R is None:
+        return False
+    return True
+
+
+def _sweep_chunk(npad: int, sb: int):
+    """Largest row-chunk height R (grid-step count is the latency driver)
+    whose double-buffered slab + invb block + resident vectors fit VMEM."""
+    for R in (1024, 512, 256, 128):
+        if npad % R or sb % R:
+            continue
+        vm = 2 * sb * sb * 4 + 2 * R * sb * 4 + (3 * npad + sb) * 4
+        if vm < 14 * 1024 * 1024:
+            return R
+    return None
+
+
+@jax.custom_batching.custom_vmap
+def bwd_sweep_blocks(Lp, z, invb):
+    """Backward superblock substitution x with (L^T-part) x = z given the
+    superblock inverses: the Pallas streaming sweep on TPU, the XLA
+    fori_loop sweep elsewhere.  ``z`` is the already diagonal-scaled
+    forward-substituted rhs (npad,); returns x (npad,)."""
+    import functools
+
+    nb, sb, _ = invb.shape
+    npad = Lp.shape[0]
+    if not _use_bwd_sweep(npad, sb, Lp.dtype):
+        return _lin._bwd_sweep_xla(Lp, z, invb)
+    R = _sweep_chunk(npad, sb)
+    nchunk = npad // R
+    kern = functools.partial(_bwd_sweep_kernel, R=R, SB=sb, nb=nb,
+                             nchunk=nchunk)
+
+    def slab_index(k, c, nb=nb, nchunk=nchunk, cpr=sb // R):
+        # clamped remap: grid step (k, c) reads row chunk c + c0 where
+        # c0 is the first sub-diagonal chunk of superblock nb-1-k;
+        # steps past the end re-visit the last chunk (no fresh DMA) and
+        # skip compute in the kernel — below-diagonal slabs are never
+        # fetched at all
+        kk = nb - 1 - k
+        c0 = (kk + 1) * cpr
+        return (jnp.minimum(c + c0, nchunk - 1), kk)
+
+    x2 = pl.pallas_call(
+        kern,
+        grid=(nb, nchunk),
+        in_specs=[
+            # z resident (1, npad)
+            pl.BlockSpec((1, npad), lambda k, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            # factor column slab (row-chunk remapped, see slab_index)
+            pl.BlockSpec((R, sb), slab_index,
+                         memory_space=pltpu.VMEM),
+            # superblock inverse for k
+            pl.BlockSpec((1, sb, sb),
+                         lambda k, c, nb=nb: (nb - 1 - k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, npad), lambda k, c: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, npad), Lp.dtype),
+        scratch_shapes=[pltpu.VMEM((1, sb), Lp.dtype)],
+    )(z.reshape(1, npad), Lp, invb)
+    return x2[0]
+
+
+@bwd_sweep_blocks.def_vmap
+def _bwd_sweep_vmap_rule(axis_size, in_batched, Lp, z, invb):
+    axes = tuple(0 if b else None for b in in_batched)
+    return jax.vmap(_lin._bwd_sweep_xla, in_axes=axes)(Lp, z, invb), True
