@@ -855,3 +855,40 @@ def test_block_lbfgs_combos():
         rx0, rtheta, ccdata=rccdata)
     np.testing.assert_allclose(np.asarray(res_r.x),
                                np.asarray(res_re.x), atol=1e-3)
+
+
+def test_linear_coupling_declaration_matches_general_path():
+    """BlockNLP.linear_coupling (the r5 collective fusion: constant
+    border Jacobians, zero border Hessian, pooled-feature/Schur-border/
+    first-bordered-solve psums fused into one, deferred coupling rhs)
+    must be a pure PERFORMANCE declaration: for a genuinely affine
+    cc(u), the fused and general paths produce the same solve to
+    roundoff."""
+    import dataclasses
+
+    from pyipm_tpu.parallel.schur import (
+        make_block_solver, sample_block_general,
+    )
+
+    K, d = 8, 4
+    # nonlinear_cc=False builds an affine cc AND sets linear_coupling
+    spec_lin, theta, ccdata, x0 = sample_block_general(
+        jax.random.key(21), K, d, me=1, ni=2, p=2, mc=1,
+        nonlinear_cc=False)
+    assert spec_lin.linear_coupling
+    spec_gen = dataclasses.replace(spec_lin, linear_coupling=False)
+    for strat in ("adaptive", "mehrotra"):
+        cfg = IPMConfig(float_dtype="float64", verbosity=0, niter=10,
+                        miter=25, mu_strategy=strat)
+        r_lin = make_block_solver(spec_lin, _mesh(8), cfg)(
+            x0, theta, ccdata=ccdata)
+        r_gen = make_block_solver(spec_gen, _mesh(8), cfg)(
+            x0, theta, ccdata=ccdata)
+        assert int(r_lin.signal) == 1 and int(r_gen.signal) == 1
+        assert int(r_lin.iter_count) == int(r_gen.iter_count), strat
+        np.testing.assert_allclose(np.asarray(r_lin.x),
+                                   np.asarray(r_gen.x),
+                                   rtol=1e-8, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(r_lin.lc),
+                                   np.asarray(r_gen.lc),
+                                   rtol=1e-7, atol=1e-8)
