@@ -59,6 +59,22 @@ def main():
           f"signal={int(gres.signal)}, kkt={np.asarray(gres.kkt)}")
     assert int(gres.signal) in (1, 2)
 
+    # --- AFFINE coupling: declare it (BlockNLP.linear_coupling=True) and
+    # the solver fuses the pooled-feature reduction, the Schur-border
+    # formation, and the first bordered solve into ONE collective per
+    # iteration (12 all-reduces/iter total vs 15 general — the census
+    # artifact benchmarks/results/r05/collective_census.json); identical
+    # solutions to the general path (tests/test_schur.py pins it)
+    lspec, ltheta, lccdata, lx0 = sample_block_general(
+        jax.random.key(2), K, 3, me=1, ni=2, p=2, mc=1,
+        dtype=jax.numpy.float32, nonlinear_cc=False)
+    assert lspec.linear_coupling
+    lres = make_block_solver(lspec, mesh, cfg, axis="model")(
+        lx0, ltheta, ccdata=lccdata)
+    print(f"linear-coupling block NLP (fused border): "
+          f"signal={int(lres.signal)}, kkt={np.asarray(lres.kkt)}")
+    assert int(lres.signal) in (1, 2)
+
 
 if __name__ == "__main__":
     main()
