@@ -394,7 +394,11 @@ def ldlt_factor_blocks(A, block: int = 128, group: int = 4, rhs=None):
     measured neutral-to-slightly-positive) plus ~0.2 ms of residual
     gate; closing to 10 TF/s likely needs a fused Pallas whole-factor
     kernel rather than more sweep tuning (session noise is ±10% at
-    these walls).
+    these walls).  Mixed precision was measured and REJECTED (r5): a
+    'high' (3-pass bf16) factor runs 3.74 vs 4.42 ms with correct
+    inertia, but its backward error (4.4e-4 unrefined vs 3.4e-5) forces
+    the refinement solve that the 'highest' factor's skip avoids — and
+    one refinement sweep (~1.4 ms) costs more than the factor saves.
     """
     n = A.shape[0]
     assert n > block
