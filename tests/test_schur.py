@@ -892,3 +892,31 @@ def test_linear_coupling_declaration_matches_general_path():
         np.testing.assert_allclose(np.asarray(r_lin.lc),
                                    np.asarray(r_gen.lc),
                                    rtol=1e-7, atol=1e-8)
+
+
+def test_refinement_knob_configs_solve_correctly():
+    """The collective-budget knobs (schur_refine_steps=0, unguarded
+    refinement) must still SOLVE, not just compile (the census only
+    lowers them): each config converges on the general coupled problem
+    and lands on the same optimum as the default guarded-2-step config."""
+    from pyipm_tpu.parallel.schur import (
+        make_block_solver, sample_block_general,
+    )
+
+    K, d = 8, 3
+    spec, theta, ccdata, x0 = sample_block_general(
+        jax.random.key(31), K, d, me=1, ni=2, p=2, mc=1)
+    base_cfg = IPMConfig(float_dtype="float64", verbosity=0, niter=10,
+                         miter=25)
+    ref = make_block_solver(spec, _mesh(8), base_cfg)(
+        x0, theta, ccdata=ccdata)
+    assert int(ref.signal) == 1
+    for kw in ({"schur_refine_steps": 0},
+               {"schur_refine_steps": 1, "schur_refine_guard": False},
+               {"schur_refine_steps": 3}):
+        cfg = base_cfg.replace(**kw)
+        r = make_block_solver(spec, _mesh(8), cfg)(
+            x0, theta, ccdata=ccdata)
+        assert int(r.signal) == 1, (kw, np.asarray(r.kkt))
+        np.testing.assert_allclose(np.asarray(r.x), np.asarray(ref.x),
+                                   rtol=0, atol=5e-4, err_msg=str(kw))
