@@ -22,7 +22,6 @@ Two methods are exposed via :func:`reg_solve_kkt`:
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

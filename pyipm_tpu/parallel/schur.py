@@ -477,13 +477,6 @@ def make_block_solver(spec: BlockNLP, mesh,
             v = v + jnp.sum(jnp.abs(spec.cci(u, ccdata) - sc))
         return v
 
-    def con_l1(x, s, sc, th, ccdata):
-        """Global l1 infeasibility |ce|_1 + |cc|_1 + |ci-s|_1 +
-        |cci-sc|_1 — ONE fused psum."""
-        ce_l1, ci_l1, gsum = _con_l1_parts(x, s, th)
-        ce_g, ci_g, u = _psum_pack(ce_l1, ci_l1, gsum)
-        return _con_l1_from(ce_g, ci_g, u, sc, ccdata)
-
     def _phi_parts(x, s, th):
         """Local (pre-psum) merit ingredients: (f, |ce|_1, |ci-s|_1,
         sum log s, pooled features)."""
