@@ -287,6 +287,12 @@ def main():
     single_latency_ms = round(float(np.median(lats)) * 1e3, 3)
 
     # ----- lockstep comparison point (the round-1 architecture) -------
+    # NOTE r5: with the f32 barrier floor the fleet's max iteration count
+    # dropped to 12, so plain lockstep vmap (one dispatch, no wave
+    # machinery) now runs within ~10% of — often slightly above — the
+    # wave solver on THIS well-behaved fleet; the wave architecture's
+    # value is robustness to heavy-tailed fleets (it reduces to ~one
+    # dispatch + one scalar fetch here).  Both numbers are reported.
     # fresh perturbed x0 for the timed call (the r03 artifact's corrupt
     # 340M iters/s row came from timing a bit-identical repeat call whose
     # block_until_ready returned early — see WALL_FLOOR_S)
