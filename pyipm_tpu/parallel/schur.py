@@ -2242,9 +2242,15 @@ def sample_block_general(key, K: int, d: int, me: int = 1, ni: int = 2,
                           * jnp.ones((mci,), v.dtype))
     else:
         cci = None
-    spec = BlockNLP(f_blk=f_blk, d=d, ce_blk=ce_blk, me=me,
-                    ci_blk=ci_blk, ni=ni, g_blk=g_blk, cc=cc, p=p, mc=mc,
-                    cci=cci, mci=mci,
+    # zero-count classes: drop the corresponding callables so every
+    # constraint-class combination (incl. eq-only, ineq-only, no-eq-
+    # coupling) is generatable for the combo-fuzz tests
+    spec = BlockNLP(f_blk=f_blk, d=d,
+                    ce_blk=ce_blk if me else None, me=me,
+                    ci_blk=ci_blk if ni else None, ni=ni,
+                    g_blk=g_blk if (mc or mci) else None,
+                    cc=cc if mc else None, p=p if (mc or mci) else 0,
+                    mc=mc, cci=cci, mci=mci,
                     linear_coupling=not nonlinear_cc)
     x0 = jnp.zeros((K, d), dtype)
     return spec, theta, ccdata, x0

@@ -920,3 +920,49 @@ def test_refinement_knob_configs_solve_correctly():
         assert int(r.signal) == 1, (kw, np.asarray(r.kkt))
         np.testing.assert_allclose(np.asarray(r.x), np.asarray(ref.x),
                                    rtol=0, atol=5e-4, err_msg=str(kw))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("combo", [
+    dict(me=0, ni=2, p=2, mc=1, mci=0),
+    dict(me=2, ni=0, p=2, mc=1, mci=1),
+    dict(me=1, ni=3, p=3, mc=2, mci=1),
+    dict(me=2, ni=2, p=2, mc=0, mci=2),
+    dict(me=1, ni=2, p=2, mc=1, mci=0, strategy="mehrotra"),
+    dict(me=1, ni=2, p=2, mc=2, mci=1, strategy="mehrotra"),
+])
+def test_block_general_combo_fuzz(combo):
+    """Cross-product fuzz over constraint-class combinations (the r5
+    collective surgery touched every reduction path): each combo must
+    converge with all four global KKT norms <= Ktol and satisfy its
+    per-block and coupling constraints."""
+    from pyipm_tpu.parallel.schur import (
+        make_block_solver, sample_block_general,
+    )
+
+    combo = dict(combo)
+    strategy = combo.pop("strategy", "adaptive")
+    K, d = 8, 3
+    seed = 100 + sum(v * (i + 2) for i, v in enumerate(combo.values()))
+    spec, theta, ccdata, x0 = sample_block_general(
+        jax.random.key(seed), K, d, **combo)
+    cfg = IPMConfig(float_dtype="float64", verbosity=0, niter=12,
+                    miter=30, mu_strategy=strategy)
+    res = make_block_solver(spec, _mesh(8), cfg)(x0, theta,
+                                                 ccdata=ccdata)
+    kkt = np.asarray(res.kkt)
+    assert int(res.signal) in (1, 2), (combo, strategy, kkt)
+    assert np.all(kkt <= cfg.Ktol * (1 + 1e-9)), (combo, kkt)
+    x = jnp.asarray(np.asarray(res.x))
+    if combo["me"]:
+        ceb = np.asarray(jax.vmap(spec.ce_blk)(x, theta))
+        assert np.linalg.norm(ceb.ravel()) <= 5e-4
+    if combo["ni"]:
+        cib = np.asarray(jax.vmap(spec.ci_blk)(x, theta))
+        assert np.all(cib >= -1e-6)
+    if combo["mc"] or combo["mci"]:
+        u = jnp.sum(jax.vmap(spec.g_blk)(x, theta), axis=0)
+        if combo["mc"]:
+            assert np.linalg.norm(np.asarray(spec.cc(u, ccdata))) <= 5e-4
+        if combo["mci"]:
+            assert np.all(np.asarray(spec.cci(u, ccdata)) >= -1e-5)
