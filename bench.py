@@ -169,6 +169,13 @@ def main():
     # return early on the remote TPU backend).
     res = solver(x0, data)
     int(np.sum(np.asarray(res.iter_count)))
+    # second warm-up with a perturbed start: the first post-compile call
+    # still pays lazy allocator/layout work — r5 rep walls consistently
+    # showed reps 1-2 ~15% slower than 3-5 with a single warm-up
+    rng0 = np.random.default_rng(3)
+    r_w = solver(jnp.asarray(1e-6 * rng0.standard_normal((B, D)),
+                             jnp.float32), data)
+    int(np.sum(np.asarray(r_w.iter_count)))
 
     # --- timing methodology -------------------------------------------
     # The wave solver is host-orchestrated (one small signal fetch per
