@@ -233,9 +233,13 @@ class IPM:
     def validate(self):
         """Input validation (reference pyipm.py:385-408); hyperparameter
         ranges are validated eagerly by IPMConfig."""
-        assert self.f is not None
-        assert (self.ce is not None) or (self.dce is None and self.d2ce is None)
-        assert (self.ci is not None) or (self.dci is None and self.d2ci is None)
+        assert self.f is not None, "an objective f must be supplied"
+        assert (self.ce is not None) or (self.dce is None
+                                         and self.d2ce is None), \
+            "dce/d2ce supplied without ce"
+        assert (self.ci is not None) or (self.dci is None
+                                         and self.d2ci is None), \
+            "dci/d2ci supplied without ci"
 
     def compile(self, nvar=None, neq=None, nineq=None):
         """Build the Problem (inferring constraint counts) and jit the

@@ -54,7 +54,8 @@ class IPMConfig:
 
     # --- TPU-native extensions (absent in the reference) ---
     matmul_precision: str = "highest"  # TPU MXU passes for solver matmuls
-    mu_min: Optional[float] = None  # barrier floor; default machine eps
+    mu_min: Optional[float] = None  # barrier floor; default eps (f64) /
+    #                                 eps**0.75 (f32) — see mu_floor
     mu_strategy: str = "adaptive"  # 'adaptive' = the reference's per-outer
     #   Fiacco-McCormick/centrality update (pyipm.py:1804-1814);
     #   'mehrotra' = per-iteration predictor-corrector barrier with a
@@ -107,22 +108,31 @@ class IPMConfig:
     def __post_init__(self):
         # Reference validation (pyipm.py:385-408), evaluated eagerly at
         # construction time instead of at solve time.
-        assert self.mu > 0.0
-        assert self.nu > 0.0
-        assert 0.0 < self.eta < 1.0
-        assert 0.0 < self.rho < 1.0
-        assert 0.0 < self.tau < 1.0
-        assert self.beta < 1.0
-        assert self.miter >= 0 and int(self.miter) == self.miter
-        assert self.niter >= 0 and int(self.niter) == self.niter
+        assert self.mu > 0.0, f"mu must be > 0, got {self.mu}"
+        assert self.nu > 0.0, f"nu must be > 0, got {self.nu}"
+        assert 0.0 < self.eta < 1.0, f"eta must be in (0, 1), got {self.eta}"
+        assert 0.0 < self.rho < 1.0, f"rho must be in (0, 1), got {self.rho}"
+        assert 0.0 < self.tau < 1.0, f"tau must be in (0, 1), got {self.tau}"
+        assert self.beta < 1.0, f"beta must be < 1, got {self.beta}"
+        assert self.miter >= 0 and int(self.miter) == self.miter, \
+            f"miter must be a nonnegative integer, got {self.miter}"
+        assert self.niter >= 0 and int(self.niter) == self.niter, \
+            f"niter must be a nonnegative integer, got {self.niter}"
         eps = float(np.finfo(self.np_dtype).eps)
-        assert self.Xtol is None or self.Xtol >= eps
-        assert self.Ktol >= eps
-        assert self.Ftol is None or self.Ftol >= 0.0
-        assert self.lbfgs >= 0
-        assert self.lbfgs_zeta is None or self.lbfgs_zeta > 0.0
-        assert self.linear_solver in ("condensed", "ldlt", "lu")
-        assert self.mu_strategy in ("adaptive", "mehrotra", "auto")
+        assert self.Xtol is None or self.Xtol >= eps, \
+            f"Xtol must be >= machine eps ({eps}), got {self.Xtol}"
+        assert self.Ktol >= eps, \
+            f"Ktol must be >= machine eps ({eps}), got {self.Ktol}"
+        assert self.Ftol is None or self.Ftol >= 0.0, \
+            f"Ftol must be >= 0 or None, got {self.Ftol}"
+        assert self.lbfgs >= 0, \
+            f"lbfgs memory must be >= 0, got {self.lbfgs}"
+        assert self.lbfgs_zeta is None or self.lbfgs_zeta > 0.0, \
+            f"lbfgs_zeta must be > 0 or None, got {self.lbfgs_zeta}"
+        assert self.linear_solver in ("condensed", "ldlt", "lu"), \
+            f"unknown linear_solver {self.linear_solver!r}"
+        assert self.mu_strategy in ("adaptive", "mehrotra", "auto"), \
+            f"unknown mu_strategy {self.mu_strategy!r}"
         if self.mu_strategy == "mehrotra":
             assert self.linear_solver == "condensed", \
                 "mehrotra requires linear_solver='condensed' (factor reuse)"
@@ -137,7 +147,8 @@ class IPMConfig:
         # line search amplifies any direction error.  'highest' = full
         # f32 via multi-pass; the solver's matmuls are small, so the 6x
         # MXU cost is noise next to the accuracy win.
-        assert self.matmul_precision in ("default", "high", "highest")
+        assert self.matmul_precision in ("default", "high", "highest"), \
+            f"unknown matmul_precision {self.matmul_precision!r}"
 
     # ------------------------------------------------------------------
     @property
