@@ -75,13 +75,17 @@ def bench_kkt_gflops(jax, jnp, n=4096, m=256, reps=8):
                 block=cfg.ldlt_block)
 
     # R reps inside ONE jit (each consuming a perturbed H so nothing
-    # folds), scalar fetch as the barrier, rep(R)-rep(1) differencing so
-    # constant dispatch overhead cancels (see benchmarks/bench_kkt.py).
+    # folds or hoists out of the loop), scalar fetch as the barrier,
+    # rep(R)-rep(1) differencing so constant dispatch overhead cancels
+    # (see benchmarks/bench_kkt.py).  The perturbation is a SCALAR
+    # scaling (one elementwise pass, inertia-preserving): the r4 form
+    # added eps*acc*eye(K) — an eye materialization plus add, ~3 K^2
+    # memory passes of pure harness overhead inside the timed body.
     def make_rep(R):
         @jax.jit
         def rep(H, g):
             def body(i, acc):
-                Hi = H + (1e-6 * acc + 1e-30) * jnp.eye(K, dtype=H.dtype)
+                Hi = H * (1.0 + 1e-9 * acc + 1e-30)
                 dzi, _, _ = run(Hi, g)
                 return acc + jnp.sum(dzi) * 1e-20
             return jax.lax.fori_loop(0, R, body, jnp.zeros((), H.dtype))
