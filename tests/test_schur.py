@@ -966,3 +966,30 @@ def test_block_general_combo_fuzz(combo):
             assert np.linalg.norm(np.asarray(spec.cc(u, ccdata))) <= 5e-4
         if combo["mci"]:
             assert np.all(np.asarray(spec.cci(u, ccdata)) >= -1e-5)
+
+
+def test_linear_coupling_composes_with_ragged_masks():
+    """The fused linear-coupling border must compose with RAGGED validity
+    masks (deferred pooled-feature reduction + masked residual rows):
+    declared vs undeclared solves of the ragged fleet (whose cc is
+    affine) agree to roundoff."""
+    import dataclasses
+
+    from pyipm_tpu.parallel.schur import (
+        make_block_solver, sample_block_ragged,
+    )
+
+    spec, theta, ccdata, x0, me_k, ni_k = sample_block_ragged(
+        jax.random.key(41), K=8, d=4, me=2, ni=3, p=2, mc=1, seed=3)
+    assert not spec.linear_coupling
+    spec_lin = dataclasses.replace(spec, linear_coupling=True)
+    cfg = IPMConfig(float_dtype="float64", verbosity=0, niter=10,
+                    miter=25)
+    r_gen = make_block_solver(spec, _mesh(8), cfg)(x0, theta,
+                                                   ccdata=ccdata)
+    r_lin = make_block_solver(spec_lin, _mesh(8), cfg)(x0, theta,
+                                                       ccdata=ccdata)
+    assert int(r_gen.signal) == 1 and int(r_lin.signal) == 1
+    assert int(r_gen.iter_count) == int(r_lin.iter_count)
+    np.testing.assert_allclose(np.asarray(r_lin.x), np.asarray(r_gen.x),
+                               rtol=1e-8, atol=1e-8)
