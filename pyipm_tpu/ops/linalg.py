@@ -61,7 +61,8 @@ def ldlt_unblocked(A):
     return lax.fori_loop(0, n, body, (L0, d0), unroll=False)
 
 
-def ldlt_factor(A, block: int = 128, segments: int = 12, rhs=None):
+def ldlt_factor(A, block: int = 128, segments: int | None = None, rhs=None,
+                pad_to: int | None = None, want_panels: bool = False):
     """Blocked right-looking LDL^T with a segmented trailing update.
 
     Pads to a multiple of ``block`` with an identity tail (which contributes
@@ -77,20 +78,28 @@ def ldlt_factor(A, block: int = 128, segments: int = 12, rhs=None):
     A single loop at the full size m = n does 3x the minimal n^3/3 flops
     (every step updates the full height).  Splitting the panel range into
     ``segments`` contiguous chunks, each operating on its STATIC trailing
-    submatrix (m shrinks chunk by chunk), cuts that to ~1.4x at
-    segments=4 and ~1.2x at segments=8 while adding only ``segments``
-    loop bodies to the program.  The (block, segments) landscape is
-    measured by benchmarks/bench_ldlt_sweep.py and VERSIONED under
-    benchmarks/results/: at n=4352 on v5e, block=128 with segments in
-    the 12-16 band runs 12.1-12.5 TF/s across both the r03 and r04
-    sweeps (session noise ±10%; segments=8 measured 9.4 TF/s in r03 and
-    11.9 in r04 — repeatedly mid-pack or worst, hence the default of
-    12, the best-or-tied row in BOTH committed sweeps), while block=256
-    collapses to ~2.1 TF/s: the panel exceeds the Pallas panel-kernel
-    bound and falls back to the latency-bound unblocked loop.
+    submatrix (m shrinks chunk by chunk), cuts the overhead toward 1x as
+    the segment count grows.  The default (``segments=None``) is ONE
+    BLOCK PER SEGMENT — every trailing update runs at its exact height,
+    i.e. the minimal n^3/3 flop count with zero masked overwork.  An r5
+    same-session race at K=4352 on v5e (each size incl. the folded-rhs
+    forward substitution): per-block 4.08 ms (13.5 TF/s), equal-width
+    segments=20 4.59 ms, the old default segments=12 4.83 ms (11.4
+    TF/s), inverse-proportional-width 20-segment schedule 4.24-4.36 ms.
+    Compile time for the per-block schedule stays modest (11 s at
+    K=4352, 20 s at K=8448 — vs 7 s/10 s at segments=12; the r3
+    "tens of minutes" unrolled pathology came from re-materializing
+    growing concatenations per step, not from program length, and the
+    persistent compilation cache amortizes it across sessions).  An
+    integer ``segments`` keeps the grouped fori_loop form (compiled
+    program size independent of the panel count) for callers who need
+    compile-time bounded at very large n.  block=256 collapses to ~2.1
+    TF/s: the panel exceeds the Pallas panel-kernel bound and falls
+    back to the latency-bound unblocked loop (r03/r04 sweeps).
     """
     n = A.shape[0]
     if n <= block:
+        assert pad_to is None and not want_panels
         if rhs is None:
             return ldlt_unblocked(A)
         L0, d0 = ldlt_unblocked(A)
@@ -98,6 +107,15 @@ def ldlt_factor(A, block: int = 128, segments: int = 12, rhs=None):
         return L0, d0, y0
     nb = -(-n // block)
     npad = nb * block
+    # ``pad_to`` (>= npad, multiple of block): allocate the OUTPUT factor
+    # buffers at that size with an identity tail and return them unsliced.
+    # The factorization itself still runs on the npad grid — the tail
+    # costs zero flops and zero extra memory passes, versus the ~0.5 ms
+    # (at K=4352) a caller pays to re-materialize a padded copy of the
+    # 75 MB factor afterwards (reg_solve_kkt pads to the superblock grid
+    # of ldlt_factor_blocks so every downstream solve can skip it).
+    out = npad if pad_to is None else int(pad_to)
+    assert out >= npad and out % block == 0
     dtype = A.dtype
     if npad != n:
         W = jnp.zeros((npad, npad), dtype)
@@ -118,13 +136,32 @@ def ldlt_factor(A, block: int = 128, segments: int = 12, rhs=None):
     else:
         panel_factor = ldlt_unblocked
 
-    nseg = max(1, min(int(segments), nb))
-    base, rem = divmod(nb, nseg)
-    sizes = [base + (1 if s_ < rem else 0) for s_ in range(nseg)]
+    if segments is None:
+        sizes = [1] * nb                     # per-block static schedule
+    else:
+        nseg = max(1, min(int(segments), nb))
+        base, rem = divmod(nb, nseg)
+        sizes = [base + (1 if s_ < rem else 0) for s_ in range(nseg)]
 
-    L = jnp.zeros((npad, npad), dtype)
-    d = jnp.zeros((npad,), dtype)
-    y = jnp.zeros((npad,), dtype) if with_rhs else None
+    L = jnp.zeros((out, out), dtype)
+    d = jnp.zeros((out,), dtype)
+    if out > npad:
+        tail = jnp.arange(npad, out)
+        L = L.at[tail, tail].set(1.0)
+        d = d.at[npad:].set(1.0)
+    y = jnp.zeros((out,), dtype) if with_rhs else None
+    # ``want_panels``: stack the diagonal panel factors Lkk as they are
+    # computed — consumers (the superblock-inverse chain in
+    # :func:`ldlt_factor_blocks`) then never gather panels out of the
+    # O(n^2) assembled factor, which would serialize against (and pay
+    # for) its full materialization.  Tail panels beyond the factored
+    # region are identity.
+    if want_panels:
+        nbp = out // block
+        panels = jnp.zeros((nbp, block, block), dtype) + jnp.eye(
+            block, dtype=dtype)
+    else:
+        panels = None
     off = 0
     Wt = W                                   # running trailing submatrix
     bt = bt_full                             # running fwd-substituted rhs
@@ -134,10 +171,12 @@ def ldlt_factor(A, block: int = 128, segments: int = 12, rhs=None):
         rows = jnp.arange(m)
 
         def body(k, carry, m=m, rows=rows):
-            Wt, Lt, dv, bt, yt = carry       # (m,m),(m,w),(w,),(m|0,),(w|0,)
+            Wt, Lt, dv, bt, yt, pt = carry   # (m,m),(m,w),(w,),(m|0,),(w|0,)
             j0 = k * block                   # panel offset within segment
             Wkk = lax.dynamic_slice(Wt, (j0, j0), (block, block))
             Lkk, dk = panel_factor(Wkk)
+            if want_panels:
+                pt = lax.dynamic_update_slice(pt, Lkk[None], (k, 0, 0))
             safe = jnp.where(jnp.abs(dk) > 0, dk, jnp.ones((), dtype))
             P = lax.dynamic_slice(Wt, (0, j0), (m, block))   # column slab
             # Y = P L11^{-T} for sub-panel rows; rows <= panel masked out.
@@ -173,23 +212,32 @@ def ldlt_factor(A, block: int = 128, segments: int = 12, rhs=None):
             if with_rhs:
                 bt = bt - L21 @ yk           # rows <= panel are masked 0
                 yt = lax.dynamic_update_slice(yt, yk, (j0,))
-            return Wt, Lt, dv, bt, yt
+            return Wt, Lt, dv, bt, yt, pt
 
         Lt0 = jnp.zeros((m, w), dtype)
         dv0 = jnp.zeros((w,), dtype)
         yt0 = jnp.zeros((w if with_rhs else 0,), dtype)
-        Wt, Lt, dv, bt, yt = lax.fori_loop(
-            0, cs, body, (Wt, Lt0, dv0, bt, yt0))
-        L = L.at[off:, off:off + w].set(Lt)
+        pt0 = (jnp.zeros((cs, block, block), dtype) if want_panels
+               else jnp.zeros((0, block, block), dtype))
+        Wt, Lt, dv, bt, yt, pt = lax.fori_loop(
+            0, cs, body, (Wt, Lt0, dv0, bt, yt0, pt0))
+        L = L.at[off:off + m, off:off + w].set(Lt)
         d = d.at[off:off + w].set(dv)
+        if want_panels:
+            panels = panels.at[off // block:off // block + cs].set(pt)
         if with_rhs:
             y = y.at[off:off + w].set(yt)
             bt = bt[w:]
         Wt = Wt[w:, w:]                      # static shrink for next segment
         off += w
+    outs = (L, d)
+    if pad_to is None:
+        outs = (L[:n, :n], d[:n])
     if with_rhs:
-        return L[:n, :n], d[:n], y[:n]
-    return L[:n, :n], d[:n]
+        outs = outs + ((y if pad_to is not None else y[:n]),)
+    if want_panels:
+        outs = outs + (panels,)
+    return outs
 
 
 # ----------------------------------------------------------------------
@@ -364,7 +412,8 @@ def ldlt_solve_inv(L, d, b):
 _TRI_LOOP_MAX = 256
 
 
-def ldlt_factor_blocks(A, block: int = 128, group: int = 4, rhs=None):
+def ldlt_factor_blocks(A, block: int = 128, group: int = 4, rhs=None,
+                       pad_to_grid: bool = False):
     """Like :func:`ldlt_factor` but additionally returns the inverses of
     the unit-triangular diagonal SUPERBLOCKS, (nb/group, group*block,
     group*block), for :func:`ldlt_solve_blocks` at the superblock size.
@@ -401,24 +450,37 @@ def ldlt_factor_blocks(A, block: int = 128, group: int = 4, rhs=None):
     """
     n = A.shape[0]
     assert n > block
-    if rhs is None:
-        L, d = ldlt_factor(A, block=block)
-        yf = None
-    else:
-        # forward substitution folded into the factorization (the rhs
-        # rides the panel triangular solves) — callers finish the solve
-        # with :func:`ldlt_solve_blocks_bwd`
-        L, d, yf = ldlt_factor(A, block=block, rhs=rhs)
     nb = -(-n // block)
     g = max(1, min(int(group), nb))
     nb2 = -(-nb // g)
     npad = nb2 * g * block
     sb = g * block
     dtype = A.dtype
-    Lp = jnp.zeros((npad, npad), dtype).at[:n, :n].set(L)
-    Lp = Lp.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
-    idx = jnp.arange(nb2 * g)
-    panels = Lp.reshape(nb2 * g, block, nb2 * g, block)[idx, :, idx, :]
+    # with ``pad_to_grid`` the factor buffers are ALLOCATED at the
+    # superblock grid size (identity tail) inside ldlt_factor, so neither
+    # this function nor the caller ever re-materializes a padded copy of
+    # the O(n^2) factor (~0.5 ms of pure memory traffic at K=4352)
+    pt = npad if pad_to_grid else None
+    if rhs is None:
+        out = ldlt_factor(A, block=block, pad_to=pt,
+                          want_panels=pad_to_grid)
+        (L, d), rest = out[:2], out[2:]
+        yf = None
+    else:
+        # forward substitution folded into the factorization (the rhs
+        # rides the panel triangular solves) — callers finish the solve
+        # with :func:`ldlt_solve_blocks_bwd`
+        out = ldlt_factor(A, block=block, rhs=rhs, pad_to=pt,
+                          want_panels=pad_to_grid)
+        (L, d, yf), rest = out[:3], out[3:]
+    if pad_to_grid:
+        Lp = L
+        panels = rest[0]      # stacked during the factor loop — no gather
+    else:
+        Lp = jnp.zeros((npad, npad), dtype).at[:n, :n].set(L)
+        Lp = Lp.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
+        idx = jnp.arange(nb2 * g)
+        panels = Lp.reshape(nb2 * g, block, nb2 * g, block)[idx, :, idx, :]
     invp = unit_lower_inverse(panels)        # (nb2*g, block, block)
     if g == 1:
         return (L, d, invp) if yf is None else (L, d, invp, yf)
@@ -754,26 +816,16 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
             # refactorizations) rides the factorization's panel
             # triangular solves — the forward substitution sweep of the
             # first solve costs nothing (rhs_fold is bound after
-            # ruiz_scale below, before the first factor() call)
+            # ruiz_scale below, before the first factor() call).
+            # pad_to_grid: the factor buffers come out ALREADY padded to
+            # the superblock grid (identity tail), so the 3+ solves per
+            # factorization (main rhs + refinement + gate) never
+            # re-materialize a padded copy of the O(K^2) factor
             L_, d_, invb_, yf_ = ldlt_factor_blocks(
-                Hm, block=block, group=group, rhs=rhs_fold)
-            sb_ = invb_.shape[-1]
-            npad_ = invb_.shape[0] * sb_
-            n_ = L_.shape[0]
-            if npad_ != n_:
-                # pad ONCE here (identity tail): every solve against
-                # these factors then skips re-materializing the padded
-                # (npad, npad) factor — reg_solve_kkt solves 3+ times
-                # per factorization (main rhs + refinement + gate)
-                Lp_ = jnp.zeros((npad_, npad_), L_.dtype)
-                Lp_ = Lp_.at[:n_, :n_].set(L_)
-                Lp_ = Lp_.at[jnp.arange(n_, npad_),
-                             jnp.arange(n_, npad_)].set(1.0)
-                dp_ = jnp.concatenate(
-                    [d_, jnp.ones((npad_ - n_,), L_.dtype)])
-            else:
-                Lp_, dp_ = L_, d_
-            return (Lp_, dp_, invb_, yf_)
+                Hm, block=block, group=group, rhs=rhs_fold,
+                pad_to_grid=True)
+            assert L_.shape[0] == invb_.shape[0] * invb_.shape[-1]
+            return (L_, d_, invb_, yf_)
 
         def fsolve(facs, rhs):
             return ldlt_solve_blocks(facs[0], facs[1], facs[2], rhs,
@@ -781,10 +833,12 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
 
         def main_first_solve(facs):
             """First solve of the main rhs: backward sweep only (forward
-            substitution came folded out of the factorization)."""
+            substitution came folded out of the factorization).  The
+            folded rhs facs[3] lives on the padded grid (zero tail), so
+            the sweep output is sliced back to the real K rows."""
             with jax.named_scope("ipm-kkt-solve"):
                 return dsc * ldlt_solve_blocks_bwd(
-                    facs[0], facs[1], facs[2], facs[3])
+                    facs[0], facs[1], facs[2], facs[3])[:K]
 
     def pivots(facs):
         # slice off the identity padding tail (large branch pads d to
