@@ -435,14 +435,15 @@ def ldlt_factor_blocks(A, block: int = 128, group: int = 4, rhs=None,
         nb/group steps of ``group``-times-larger matvecs.
 
     r5 state of the hot path at K=4352 (v5e, interleaved same-session
-    medians): factor ~4.5 ms (~12 TF/s), full reg_solve_kkt 6.5-6.7 ms
-    (8.2-8.5 TF/s end-to-end; group=8 beat group=4 by ~3%, hence the
-    default).  The remaining factor/solve gap is the substitution
-    sweeps' latency (~1.3-1.8 ms for sub-ms of bandwidth — the fwd-fold
-    measured neutral-to-slightly-positive) plus ~0.2 ms of residual
-    gate; closing to 10 TF/s likely needs a fused Pallas whole-factor
-    kernel rather than more sweep tuning (session noise is ±10% at
-    these walls).  Mixed precision was measured and REJECTED (r5): a
+    medians): factor ~4.1 ms at the per-block segment schedule (13.5
+    TF/s effective), full reg_solve_kkt 5.08 ms (10.8 TF/s end-to-end)
+    — but note the want_solver=False path no longer consumes THIS
+    function: the superblock-inverse assembly below costs ~1.2 ms under
+    'highest' matmul precision (112 small einsums), so single-shot
+    solves route through :func:`ldlt_factor_panels` + the panel-level
+    Pallas sweep instead; this assembly remains for the factor-once/
+    solve-many condensed path where it amortizes.  Mixed precision was
+    measured and REJECTED (r5): a
     'high' (3-pass bf16) factor runs 3.74 vs 4.42 ms with correct
     inertia, but its backward error (4.4e-4 unrefined vs 3.4e-5) forces
     the refinement solve that the 'highest' factor's skip avoids — and
@@ -510,6 +511,31 @@ def ldlt_factor_blocks(A, block: int = 128, group: int = 4, rhs=None,
     return (L, d, invb) if yf is None else (L, d, invb, yf)
 
 
+def ldlt_factor_panels(A, block: int = 128, group: int = 8, rhs=None):
+    """Like :func:`ldlt_factor_blocks` but stops at the PANEL inverses —
+    no superblock-inverse assembly.  For consumers of the panel-level
+    sweeps (:func:`ldlt_solve_panels` / pallas_ldlt.bwd_sweep_panels):
+    the blocked-triangular superblock assembly costs ~112 small batched
+    einsums (measured ~1.2 ms per reg_solve_kkt call at K=4352 under
+    'highest' matmul precision, r5) while the panel inverses come from
+    one batched log-depth chain.  ``group`` only sets the pad grid (the
+    sweep picks its own streaming superblock from the padded size)."""
+    n = A.shape[0]
+    assert n > block
+    nb = -(-n // block)
+    g = max(1, min(int(group), nb))
+    npad = -(-nb // g) * g * block
+    if rhs is None:
+        L, d, panels = ldlt_factor(A, block=block, pad_to=npad,
+                                   want_panels=True)
+        yf = None
+    else:
+        L, d, yf, panels = ldlt_factor(A, block=block, rhs=rhs,
+                                       pad_to=npad, want_panels=True)
+    invp = unit_lower_inverse(panels)        # (npad/block, block, block)
+    return (L, d, invp) if yf is None else (L, d, invp, yf)
+
+
 def ldlt_solve_blocks(L, d, invb, b, block: int = 128):
     """Solve (L diag(d) L^T) x = b via block substitution with the panel
     inverses from :func:`ldlt_factor_blocks` — 2*n^2 MACs of matmuls, no
@@ -572,6 +598,73 @@ def _bwd_sweep_xla(Lp, z, invb):
         return lax.dynamic_update_slice(x, xk, (j0,))
 
     return lax.fori_loop(0, nb, bwd, jnp.zeros((npad,), dtype))
+
+
+def _bwd_sweep_panels_xla(Lp, z, invp):
+    """XLA block-level form of the backward panel sweep (fallback of
+    pallas_ldlt.bwd_sweep_panels): one fori step per 128-panel.  Fine on
+    CPU and under vmap; on TPU unbatched the Pallas kernel avoids the
+    nbp sequential dispatch latencies."""
+    nbp, blk, _ = invp.shape
+    npad = Lp.shape[0]
+
+    def bwd(t, x):
+        j = nbp - 1 - t
+        j0 = j * blk
+        colslab = lax.dynamic_slice(Lp, (0, j0), (npad, blk))
+        # x fills bottom-up; rows above the diagonal block are zero in L
+        # and the diagonal block's rows are zero in x — self-masking
+        acc = colslab.T @ x
+        zk = lax.dynamic_slice(z, (j0,), (blk,))
+        xj = invp[j].T @ (zk - acc)
+        return lax.dynamic_update_slice(x, xj, (j0,))
+
+    return lax.fori_loop(0, nbp, bwd, jnp.zeros((npad,), Lp.dtype))
+
+
+def _fwd_sweep_panels_xla(Lp, invp, b):
+    """Forward panel substitution y with L y = b given panel inverses."""
+    nbp, blk, _ = invp.shape
+    npad = Lp.shape[0]
+
+    def fwd(j, y):
+        j0 = j * blk
+        rowslab = lax.dynamic_slice(Lp, (j0, 0), (blk, npad))
+        acc = rowslab @ y          # y fills left-to-right: self-masking
+        bk = lax.dynamic_slice(b, (j0,), (blk,))
+        yk = invp[j] @ (bk - acc)
+        return lax.dynamic_update_slice(y, yk, (j0,))
+
+    return lax.fori_loop(0, nbp, fwd, jnp.zeros((npad,), Lp.dtype))
+
+
+def ldlt_solve_panels(Lp, dp, invp, b):
+    """Solve (L diag(d) L^T) x = b from panel-grid factors (Lp/dp padded
+    to the panel grid, invp the 128-panel inverses).  Forward sweep in
+    XLA (used only on the rare refinement/gate paths of reg_solve_kkt),
+    backward sweep via the Pallas panel kernel on TPU."""
+    n = b.shape[0]
+    npad = Lp.shape[0]
+    dtype = Lp.dtype
+    bp = jnp.zeros((npad,), dtype).at[:n].set(b)
+    y = _fwd_sweep_panels_xla(Lp, invp, bp)
+    safe = jnp.where(jnp.abs(dp) > 0, dp, jnp.ones((), dtype))
+    z = y / safe
+    from pyipm_tpu.ops.pallas_ldlt import bwd_sweep_panels
+    return bwd_sweep_panels(Lp, z, invp)[:n]
+
+
+def ldlt_solve_panels_bwd(Lp, dp, invp, y):
+    """Finish a solve whose forward substitution was folded into the
+    factorization: diagonal scale + panel-level backward sweep."""
+    npad = Lp.shape[0]
+    n = y.shape[0]
+    dtype = Lp.dtype
+    yp = jnp.zeros((npad,), dtype).at[:n].set(y)
+    safe = jnp.where(jnp.abs(dp) > 0, dp, jnp.ones((), dtype))
+    z = yp / safe
+    from pyipm_tpu.ops.pallas_ldlt import bwd_sweep_panels
+    return bwd_sweep_panels(Lp, z, invp)
 
 
 def ldlt_solve_blocks_bwd(Lp, dp, invb, y):
@@ -811,34 +904,58 @@ def _reg_solve_ldlt(H, g, delta, mu, *, ex, eeq, target, eps, reg_coef,
         # reg_solve_kkt) — the unbatched single-rhs sweep is latency-not-
         # bandwidth bound, and the fori body is one fused kernel while
         # the unrolled chain re-materializes growing concatenations.
-        def factor(Hm):
-            # the MAIN rhs (scaled g, identical across escalation/gate
-            # refactorizations) rides the factorization's panel
-            # triangular solves — the forward substitution sweep of the
-            # first solve costs nothing (rhs_fold is bound after
-            # ruiz_scale below, before the first factor() call).
-            # pad_to_grid: the factor buffers come out ALREADY padded to
-            # the superblock grid (identity tail), so the 3+ solves per
-            # factorization (main rhs + refinement + gate) never
-            # re-materialize a padded copy of the O(K^2) factor
-            L_, d_, invb_, yf_ = ldlt_factor_blocks(
-                Hm, block=block, group=group, rhs=rhs_fold,
-                pad_to_grid=True)
-            assert L_.shape[0] == invb_.shape[0] * invb_.shape[-1]
-            return (L_, d_, invb_, yf_)
+        # the MAIN rhs (scaled g, identical across escalation/gate
+        # refactorizations) rides the factorization's panel triangular
+        # solves — the forward substitution sweep of the first solve
+        # costs nothing (rhs_fold is bound after ruiz_scale below,
+        # before the first factor() call).  Factor buffers come out
+        # ALREADY padded to the grid (identity tail), so the 3+ solves
+        # per factorization (main rhs + refinement + gate) never
+        # re-materialize a padded copy of the O(K^2) factor.
+        if not want_solver:
+            # single-shot path: PANEL inverses only.  The superblock-
+            # inverse assembly (~112 small einsums, ~1.2 ms at K=4352
+            # under 'highest' precision) buys nothing here — the main
+            # solve is one Pallas panel sweep, and refinement/gate
+            # solves are behind almost-never-taken lax.conds.
+            def factor(Hm):
+                L_, d_, invp_, yf_ = ldlt_factor_panels(
+                    Hm, block=block, group=group, rhs=rhs_fold)
+                return (L_, d_, invp_, yf_)
 
-        def fsolve(facs, rhs):
-            return ldlt_solve_blocks(facs[0], facs[1], facs[2], rhs,
-                                     block=facs[2].shape[-1])
+            def fsolve(facs, rhs):
+                return ldlt_solve_panels(facs[0], facs[1], facs[2], rhs)
 
-        def main_first_solve(facs):
-            """First solve of the main rhs: backward sweep only (forward
-            substitution came folded out of the factorization).  The
-            folded rhs facs[3] lives on the padded grid (zero tail), so
-            the sweep output is sliced back to the real K rows."""
-            with jax.named_scope("ipm-kkt-solve"):
-                return dsc * ldlt_solve_blocks_bwd(
-                    facs[0], facs[1], facs[2], facs[3])[:K]
+            def main_first_solve(facs):
+                """First solve of the main rhs: backward sweep only
+                (forward substitution came folded out of the
+                factorization).  The folded rhs facs[3] lives on the
+                padded grid (zero tail); slice back to the K real rows."""
+                with jax.named_scope("ipm-kkt-solve"):
+                    return dsc * ldlt_solve_panels_bwd(
+                        facs[0], facs[1], facs[2], facs[3])[:K]
+        else:
+            # factor-once/solve-many path (ops/condensed.py): ~5 solves
+            # per factorization amortize the superblock-inverse assembly
+            def factor(Hm):
+                L_, d_, invb_, yf_ = ldlt_factor_blocks(
+                    Hm, block=block, group=group, rhs=rhs_fold,
+                    pad_to_grid=True)
+                assert L_.shape[0] == invb_.shape[0] * invb_.shape[-1]
+                return (L_, d_, invb_, yf_)
+
+            def fsolve(facs, rhs):
+                return ldlt_solve_blocks(facs[0], facs[1], facs[2], rhs,
+                                         block=facs[2].shape[-1])
+
+            def main_first_solve(facs):
+                """First solve of the main rhs: backward sweep only
+                (forward substitution came folded out of the
+                factorization).  The folded rhs facs[3] lives on the
+                padded grid (zero tail); slice back to the K real rows."""
+                with jax.named_scope("ipm-kkt-solve"):
+                    return dsc * ldlt_solve_blocks_bwd(
+                        facs[0], facs[1], facs[2], facs[3])[:K]
 
     def pivots(facs):
         # slice off the identity padding tail (large branch pads d to

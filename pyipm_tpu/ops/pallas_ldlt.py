@@ -502,3 +502,169 @@ def bwd_sweep_blocks(Lp, z, invb):
 def _bwd_sweep_vmap_rule(axis_size, in_batched, Lp, z, invb):
     axes = tuple(0 if b else None for b in in_batched)
     return jax.vmap(_lin._bwd_sweep_xla, in_axes=axes)(Lp, z, invb), True
+
+
+# ----------------------------------------------------------------------
+# streaming PANEL-level backward sweep (large unbatched systems)
+#
+# bwd_sweep_blocks consumes the assembled SUPERBLOCK inverses — whose
+# blocked-triangular assembly costs ~112 tiny (nb2, 128, 128) einsums,
+# measured ~1.2 ms per reg_solve_kkt call at K=4352 under 'highest'
+# matmul precision (r5), i.e. far more than the sweep it feeds.  This
+# kernel needs only the PANEL (128) inverses, which come from one
+# batched log-depth chain (~0.2 ms): the within-superblock substitution
+# that the superblock inverse pre-solved is instead performed ON-CHIP at
+# finish time — g statically-unrolled (1,SB)x(SB,128) + (1,128)x(128,128)
+# dots against the diagonal superblock held in a VMEM scratch.  The grid
+# streams row chunks exactly like _bwd_sweep_kernel, except chunks of
+# the DIAGONAL superblock are copied into the scratch instead of being
+# accumulated (their contribution is resolved by the in-kernel
+# substitution, where later panels' solutions exist).
+def _bwd_sweep_panels_kernel(z_ref, lp_ref, invp_ref, x_ref, acc_ref,
+                             diag_ref, *, R, SB, nsb, nchunk, block):
+    k_rev = pl.program_id(0)
+    c = pl.program_id(1)
+    k = nsb - 1 - k_rev
+    cpr = SB // R
+    g = SB // block
+    c0 = k * cpr                    # first chunk: the diagonal superblock
+    rc = jnp.minimum(c + c0, nchunk - 1)
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # diagonal-superblock chunks: stash for the in-kernel substitution
+    @pl.when(c < cpr)
+    def _stash():
+        diag_ref[pl.ds(c * R, R), :] = lp_ref[:]
+
+    # strictly-below chunks: accumulate cross-superblock contributions
+    @pl.when((c >= cpr) & (c + c0 <= nchunk - 1))
+    def _accum():
+        xc = x_ref[:, pl.ds(rc * R, R)]          # written by larger k
+        acc_ref[:] += jax.lax.dot_general(
+            xc, lp_ref[:], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=acc_ref.dtype)
+
+    @pl.when(c + c0 == nchunk - 1)
+    def _finish():
+        # within-superblock backward substitution, statically unrolled:
+        # after solving panel j, its contribution L[j, :j]^T x_j is
+        # subtracted from the REMAINING prefix of the rhs (all static
+        # slices/concats — Mosaic has no scatter for value updates)
+        cur = z_ref[:, pl.ds(k * SB, SB)] - acc_ref[:]   # (1, SB)
+        parts = []
+        for j in range(g - 1, -1, -1):
+            tj = cur[:, j * block:(j + 1) * block]
+            # x_j = invp_j^T t_j  (row form: t_j @ invp_j)
+            xj = jax.lax.dot_general(
+                tj, invp_ref[j], (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=cur.dtype)
+            parts.insert(0, xj)
+            if j > 0:
+                contrib = jax.lax.dot_general(
+                    xj, diag_ref[j * block:(j + 1) * block, :j * block],
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=cur.dtype)
+                cur = jnp.concatenate(
+                    [cur[:, :j * block] - contrib, cur[:, j * block:]],
+                    axis=1)
+        x_ref[:, pl.ds(k * SB, SB)] = jnp.concatenate(parts, axis=1)
+
+
+def _panel_sweep_geometry(npad: int, block: int):
+    """(SB, R) for the panel sweep: the largest superblock width whose
+    diagonal scratch + double-buffered slab + panel-inverse block fit the
+    ~16 MB VMEM budget, and the largest row chunk under it."""
+    for SB in (1024, 512, 256):
+        if npad % SB or SB % block:
+            continue
+        for R in (512, 256, 128):
+            if SB % R or npad % R:
+                continue
+            g = SB // block
+            vm = (2 * R * SB * 4            # slab, double-buffered
+                  + SB * SB * 4             # diagonal scratch
+                  + 2 * g * block * block * 4   # invp block, buffered
+                  + (3 * npad + SB) * 4)
+            if vm < 14 * 1024 * 1024:
+                return SB, R
+    return None, None
+
+
+def _use_panel_sweep(npad: int, block: int, dtype) -> bool:
+    if _FORCE_DISABLE:
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    if dtype != jnp.float32:
+        return False
+    return _panel_sweep_geometry(npad, block)[0] is not None
+
+
+def _bwd_sweep_panels_pallas(Lp, z, invp, SB, R):
+    """The pallas_call form of the panel sweep at explicit geometry
+    (separated from the dispatching wrapper so interpret-mode tests can
+    drive the kernel body off-TPU)."""
+    import functools
+
+    nbp, block, _ = invp.shape
+    npad = Lp.shape[0]
+    nsb = npad // SB
+    nchunk = npad // R
+    g = SB // block
+    kern = functools.partial(_bwd_sweep_panels_kernel, R=R, SB=SB,
+                             nsb=nsb, nchunk=nchunk, block=block)
+
+    def slab_index(k, c, nsb=nsb, nchunk=nchunk, cpr=SB // R):
+        kk = nsb - 1 - k
+        return (jnp.minimum(c + kk * cpr, nchunk - 1), kk)
+
+    x2 = pl.pallas_call(
+        kern,
+        grid=(nsb, nchunk),
+        in_specs=[
+            pl.BlockSpec((1, npad), lambda k, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, SB), slab_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, block, block),
+                         lambda k, c, nsb=nsb: (nsb - 1 - k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, npad), lambda k, c: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, npad), Lp.dtype),
+        scratch_shapes=[pltpu.VMEM((1, SB), Lp.dtype),
+                        pltpu.VMEM((SB, SB), Lp.dtype)],
+    )(z.reshape(1, npad), Lp, invp)
+    return x2[0]
+
+
+@jax.custom_batching.custom_vmap
+def bwd_sweep_panels(Lp, z, invp):
+    """Backward substitution x with (L^T-part) x = z given only the PANEL
+    inverses invp (nbp, block, block): the Pallas streaming sweep on TPU,
+    the XLA block-level fori sweep elsewhere.  ``z`` is the already
+    diagonal-scaled forward-substituted rhs (npad,); returns x (npad,)."""
+    nbp, block, _ = invp.shape
+    npad = Lp.shape[0]
+    assert nbp * block == npad
+    if not _use_panel_sweep(npad, block, Lp.dtype):
+        return _lin._bwd_sweep_panels_xla(Lp, z, invp)
+    SB, R = _panel_sweep_geometry(npad, block)
+    return _bwd_sweep_panels_pallas(Lp, z, invp, SB, R)
+
+
+@bwd_sweep_panels.def_vmap
+def _bwd_sweep_panels_vmap_rule(axis_size, in_batched, Lp, z, invp):
+    axes = tuple(0 if b else None for b in in_batched)
+    return (jax.vmap(_lin._bwd_sweep_panels_xla, in_axes=axes)(Lp, z, invp),
+            True)

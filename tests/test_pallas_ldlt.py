@@ -143,3 +143,67 @@ def test_ldlt_solve_inv_matches_substitution(rng):
     xr = np.linalg.solve(np.asarray(A).astype(np.float64),
                          np.asarray(b).astype(np.float64)[..., None])[..., 0]
     np.testing.assert_allclose(x, xr, rtol=1e-3, atol=1e-4)
+
+
+# ----------------------------------------------------------------------
+# panel-level backward sweep (r5 solve path of reg_solve_kkt)
+def _panel_factors(rng, n, block=128, group=8):
+    from pyipm_tpu.ops.linalg import ldlt_factor_panels
+
+    A = rng.standard_normal((n, n))
+    A = (A + A.T) / 2 + n * np.eye(n)
+    b = rng.standard_normal(n)
+    Lp, dp, invp, yf = ldlt_factor_panels(
+        jnp.asarray(A, jnp.float32), block=block, group=group,
+        rhs=jnp.asarray(b, jnp.float32))
+    return A, b, Lp, dp, invp, yf
+
+
+@pytest.mark.parametrize("n", [300, 1100, 1500])
+def test_panel_sweep_xla_solves(rng, n):
+    """fwd+bwd XLA panel sweeps against dense numpy solve (the CPU/vmap
+    fallback of the r5 want_solver=False reg_solve_kkt path)."""
+    from pyipm_tpu.ops.linalg import ldlt_solve_panels, ldlt_solve_panels_bwd
+
+    A, b, Lp, dp, invp, yf = _panel_factors(rng, n)
+    ref = np.linalg.solve(A, b)
+    # full solve from scratch
+    x1 = np.asarray(ldlt_solve_panels(Lp, dp, invp, jnp.asarray(b, jnp.float32)))
+    np.testing.assert_allclose(x1, ref, rtol=5e-4, atol=5e-4)
+    # folded-forward variant
+    x2 = np.asarray(ldlt_solve_panels_bwd(Lp, dp, invp, yf))[:n]
+    np.testing.assert_allclose(x2, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_panel_sweep_kernel_interpret_matches_xla(rng):
+    """The Pallas streaming panel-sweep kernel (interpret mode) against
+    the XLA fori fallback, at a geometry with multiple streamed chunks,
+    several superblocks, and a diagonal-only last superblock."""
+    from pyipm_tpu.ops.linalg import _bwd_sweep_panels_xla
+
+    n = 1900                      # pads to 2048 = 2 superblocks of 1024
+    A, b, Lp, dp, invp, yf = _panel_factors(rng, n)
+    safe = jnp.where(jnp.abs(dp) > 0, dp, 1.0)
+    z = yf / safe
+    ref = np.asarray(_bwd_sweep_panels_xla(Lp, z, invp))
+    for SB, R in ((1024, 512), (1024, 256), (512, 128)):
+        with pltpu.force_tpu_interpret_mode():
+            x = pk._bwd_sweep_panels_pallas(Lp, z, invp, SB, R)
+        np.testing.assert_allclose(np.asarray(x), ref, rtol=2e-5,
+                                   atol=2e-5,
+                                   err_msg=f"geometry SB={SB} R={R}")
+
+
+def test_panel_sweep_custom_vmap_batched_fallback(rng):
+    """vmapped bwd_sweep_panels routes through the XLA rule."""
+    from pyipm_tpu.ops.linalg import _bwd_sweep_panels_xla
+
+    n = 300
+    _, _, Lp, dp, invp, yf = _panel_factors(rng, n, group=2)
+    safe = jnp.where(jnp.abs(dp) > 0, dp, 1.0)
+    z = ((yf / safe)[None, :].repeat(3, axis=0)
+         * jnp.asarray([1., 2., 3.], jnp.float32)[:, None])
+    out = jax.vmap(pk.bwd_sweep_panels, in_axes=(None, 0, None))(Lp, z, invp)
+    ref = jax.vmap(_bwd_sweep_panels_xla, in_axes=(None, 0, None))(Lp, z, invp)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
