@@ -47,7 +47,7 @@ def guarded_rate(count, wall, floor=WALL_FLOOR_S):
     return round(count / wall, 1)
 
 
-def bench_kkt_gflops(jax, jnp, n=4096, m=256, reps=8):
+def bench_kkt_gflops(jax, jnp, n=4096, m=256, reps=12):
     """BASELINE.md config 4: inertia-corrected KKT factor+solve GFLOP/s
     at D=n variables, M=m equality constraints (K = n+m system)."""
     from pyipm_tpu.config import IPMConfig
@@ -129,6 +129,21 @@ def main():
         make_qp_batch_solver, make_qp_problem, sample_qp_batch, QPData,
     )
     from pyipm_tpu.parallel.batch import make_wave_batch_solver
+
+    # ----- BASELINE.md config 4: KKT factor+solve hot path ------------
+    # measured FIRST, on a clean device: running it after the B=10,000
+    # wave phases read 3.8 TF/s vs 10.9 TF/s clean in back-to-back r5
+    # runs (same code, same chip) — whatever state the heavy phases
+    # leave behind (allocator layout and/or sustained-load clocks)
+    # degrades this latency-sensitive differenced measurement by ~2.7x,
+    # while the wave phases themselves are insensitive to ordering.
+    if os.environ.get("BENCH_SKIP_KKT"):
+        kkt_gflops, kkt_k = None, None
+    else:
+        kkt_gflops, kkt_k = bench_kkt_gflops(
+            jax, jnp,
+            n=int(os.environ.get("BENCH_KKT_N", 4096)),
+            m=int(os.environ.get("BENCH_KKT_M", 256)))
 
     B = int(os.environ.get("BENCH_BATCH", 10000))
     D = int(os.environ.get("BENCH_NVAR", 16))
@@ -344,15 +359,6 @@ def main():
         }
     else:
         mehrotra = {}
-
-    # ----- BASELINE.md config 4: KKT factor+solve hot path ------------
-    if os.environ.get("BENCH_SKIP_KKT"):
-        kkt_gflops, kkt_k = None, None
-    else:
-        kkt_gflops, kkt_k = bench_kkt_gflops(
-            jax, jnp,
-            n=int(os.environ.get("BENCH_KKT_N", 4096)),
-            m=int(os.environ.get("BENCH_KKT_M", 256)))
 
     out = {
         "metric": "ipm_iters_per_sec_per_chip",
